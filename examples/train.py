@@ -1,0 +1,116 @@
+"""Train a GNN with xgnn_tpu — the CLI analog of the reference training
+scripts (``example/samgraph/sgnn/train_{gcn,graphsage,pinsage}.py``).
+
+One script covers the model zoo (``--model``) and the sampling/cache
+configuration surface; prints the ``config:`` and ``test_result:`` stdout
+protocol consumed by the evaluation harness.
+
+Examples:
+  python examples/train.py --synthetic --model graphsage --num-epoch 3
+  python examples/train.py --root-path /data --dataset products \\
+      --model gcn --cache-policy pre_sample --cache-percentage 0.2
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser("xgnn_tpu training")
+    p.add_argument("--model", default="graphsage",
+                   choices=["graphsage", "gcn", "gat", "pinsage"])
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--root-path", default="/graph-learning/samgraph/")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use an in-memory synthetic graph (no dataset dir)")
+    p.add_argument("--synthetic-nodes", type=int, default=100_000)
+    p.add_argument("--synthetic-degree", type=int, default=15)
+    p.add_argument("--sample-type", default="khop3",
+                   choices=["khop0", "khop1", "khop2", "khop3",
+                            "weighted_khop", "weighted_khop_prefix",
+                            "weighted_khop_hash_dedup", "random_walk"])
+    p.add_argument("--fanout", nargs="+", type=int, default=[15, 10, 5])
+    p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--num-epoch", type=int, default=10)
+    p.add_argument("--num-hidden", type=int, default=256)
+    p.add_argument("--lr", type=float, default=0.003)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--cache-policy", default="pre_sample",
+                   choices=["degree", "heuristic", "pre_sample", "degree_hop",
+                            "presample_static", "fake_optimal", "random"])
+    p.add_argument("--cache-percentage", type=float, default=0.0)
+    p.add_argument("--presample-epoch", type=int, default=1)
+    p.add_argument("--pipeline", action="store_true", default=False)
+    p.add_argument("--no-pipeline", dest="pipeline", action="store_false")
+    p.add_argument("--report-acc", type=int, default=0)
+    p.add_argument("--validate-configs", action="store_true",
+                   help="exit after printing the resolved config")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.engine import Engine
+
+    if args.sample_type == "random_walk" and args.model != "pinsage":
+        print("warning: random_walk sampling is the pinsage path; "
+              "forcing --model pinsage", file=sys.stderr)
+        args.model = "pinsage"
+    if args.model == "pinsage":
+        args.sample_type = "random_walk"
+
+    config = RunConfig(
+        model=args.model,
+        dataset=args.dataset,
+        root_path=args.root_path,
+        sample_type=args.sample_type,
+        fanout=tuple(args.fanout),
+        num_layer=len(args.fanout),
+        batch_size=args.batch_size,
+        num_epoch=args.num_epoch,
+        num_hidden=args.num_hidden,
+        lr=args.lr,
+        dropout=args.dropout,
+        cache_policy=args.cache_policy,
+        cache_percentage=args.cache_percentage,
+        presample_epoch=args.presample_epoch,
+        pipeline=args.pipeline,
+        report_acc=args.report_acc,
+        seed=args.seed,
+    )
+    config.print_run_config()
+    if args.validate_configs:
+        return
+
+    if args.synthetic or args.dataset == "synthetic":
+        from xgnn_tpu import synthetic
+
+        ds = synthetic.make_synthetic_dataset(
+            num_node=args.synthetic_nodes,
+            avg_degree=args.synthetic_degree,
+            feat_dim=128,
+            num_class=32,
+            planted_signal=1.5,
+            seed=args.seed,
+        )
+        if args.sample_type.startswith("weighted"):
+            synthetic.build_alias_tables(ds)
+    else:
+        from xgnn_tpu import load_dataset
+
+        ds = load_dataset(config.dataset_path)
+
+    engine = Engine(ds, config)
+    out = engine.run()
+    if args.report_acc:
+        acc = engine.evaluate("test")
+        print(f"test_result:test_acc={acc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""End-to-end engine tests: the full sample→extract→train pipeline learns on
+a planted-signal synthetic graph (the accuracy-parity strategy of SURVEY §4
+adapted to an egress-free environment)."""
+
+import numpy as np
+import pytest
+
+from xgnn_tpu import RunConfig
+from xgnn_tpu.engine import Engine
+from xgnn_tpu import synthetic
+
+
+@pytest.fixture(scope="module")
+def learnable_ds():
+    return synthetic.make_synthetic_dataset(
+        num_node=3000,
+        avg_degree=8,
+        feat_dim=32,
+        num_class=5,
+        seed=7,
+        planted_signal=2.0,
+        train_frac=0.3,
+    )
+
+
+@pytest.mark.parametrize("model", ["graphsage", "gcn"])
+def test_training_learns(learnable_ds, model):
+    config = RunConfig(
+        batch_size=256,
+        fanout=(5, 5),
+        num_layer=2,
+        num_hidden=32,
+        num_epoch=3,
+        model=model,
+        sample_type="khop3",
+        cache_percentage=0.0,
+        pipeline=False,
+        lr=0.01,
+        dropout=0.1,
+        calibration_batches=2,
+        root_path="/tmp",
+    )
+    engine = Engine(learnable_ds, config).init()
+    r0 = engine.train_epoch(0)
+    r_last = engine.train_epoch(1)
+    r_last = engine.train_epoch(2)
+    assert np.isfinite(r0["loss"]) and np.isfinite(r_last["loss"])
+    assert r_last["loss"] < r0["loss"]
+    assert r_last["train_acc"] > 0.5, r_last
+    acc = engine.evaluate("valid", max_batches=2)
+    assert acc > 0.4
+
+
+def test_pipeline_matches_sync(learnable_ds):
+    common = dict(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
+        num_epoch=1, model="graphsage", cache_percentage=0.0,
+        lr=0.01, calibration_batches=1, root_path="/tmp",
+    )
+    e_sync = Engine(learnable_ds, RunConfig(pipeline=False, **common)).init()
+    e_pipe = Engine(learnable_ds, RunConfig(pipeline=True, **common)).init()
+    r_sync = e_sync.train_epoch(0)
+    r_pipe = e_pipe.train_epoch(0)
+    # same seeds, same math — pipelining must not change results
+    np.testing.assert_allclose(r_sync["loss"], r_pipe["loss"], rtol=1e-4)
+
+
+def test_tiered_cache_e2e(learnable_ds):
+    config = RunConfig(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
+        num_epoch=1, model="graphsage", sample_type="khop3",
+        cache_policy="pre_sample", cache_percentage=0.2, presample_epoch=1,
+        pipeline=False, calibration_batches=1, root_path="/tmp",
+    )
+    engine = Engine(learnable_ds, config).init()
+    from xgnn_tpu.store.feature_store import TieredFeatureSource
+
+    assert isinstance(engine.feature_source, TieredFeatureSource)
+    r = engine.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    hit = engine.profiler.step_average  # warm-up epoch excluded -> use raw
+    hits = [
+        v["cache_hit_rate"]
+        for v in engine.profiler._step_items.values()
+        if "cache_hit_rate" in v
+    ]
+    # presample ranking on a power-law graph should beat the 20% cache size
+    assert np.mean(hits) > 0.3, np.mean(hits)
+
+
+def test_pinsage_e2e(learnable_ds):
+    config = RunConfig(
+        batch_size=128, num_hidden=16, num_epoch=1, model="pinsage",
+        sample_type="random_walk", num_neighbor=4, num_layer_pinsage=2,
+        num_random_walk=4, random_walk_length=3,
+        cache_percentage=0.0, pipeline=False, calibration_batches=1,
+        root_path="/tmp",
+    )
+    engine = Engine(learnable_ds, config).init()
+    r = engine.train_epoch(0)
+    assert np.isfinite(r["loss"])

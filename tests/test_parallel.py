@@ -1,0 +1,147 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh: partitioned-store
+exchange correctness and the full collocated SPMD train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as PS
+
+from xgnn_tpu import RunConfig
+from xgnn_tpu.constants import EMPTY_KEY
+from xgnn_tpu.models import build_model
+from xgnn_tpu.parallel import make_mesh, partitioned_gather, shard_interleaved
+from xgnn_tpu.parallel.collocated import (
+    make_collocated_train_step,
+    put_replicated,
+    put_sharded,
+)
+from xgnn_tpu.sampler import Sampler, default_capacities
+from xgnn_tpu.train import init_state
+from xgnn_tpu.types import Graph
+
+NUM_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= NUM_DEV
+    return make_mesh(NUM_DEV)
+
+
+def test_shard_interleaved_roundtrip():
+    x = np.arange(23 * 3).reshape(23, 3).astype(np.float32)
+    parts = shard_interleaved(x, 4)
+    assert parts.shape == (4, 6, 3)
+    for g in range(23):
+        np.testing.assert_array_equal(parts[g % 4, g // 4], x[g])
+
+
+def test_partitioned_gather_matches_local(mesh):
+    rng = np.random.default_rng(0)
+    n, f = 1000, 16
+    feat = rng.standard_normal((n, f)).astype(np.float32)
+    parts = put_sharded(shard_interleaved(feat, NUM_DEV), mesh)
+
+    cap = 128
+    ids_np = rng.integers(0, n, (NUM_DEV, cap)).astype(np.int32)
+    ids_np[:, -7:] = EMPTY_KEY  # padding entries
+    ids = put_sharded(ids_np, mesh)
+
+    def fn(parts, ids):
+        out, over = partitioned_gather(
+            parts.reshape(parts.shape[-2], parts.shape[-1]),
+            ids.reshape(-1),
+            "data",
+            seg_cap=64,
+        )
+        return out[None], over[None]
+
+    out, over = jax.jit(
+        shard_map(
+            fn, mesh=mesh,
+            in_specs=(PS("data"), PS("data")),
+            out_specs=(PS("data"), PS("data")),
+        )
+    )(parts, ids)
+    out = np.asarray(out)
+    assert not np.any(np.asarray(over))
+    for d in range(NUM_DEV):
+        for i in range(cap):
+            g = ids_np[d, i]
+            expected = feat[g] if g != EMPTY_KEY else 0.0
+            np.testing.assert_allclose(out[d, i], expected, rtol=1e-6)
+
+
+def test_partitioned_gather_overflow_flag(mesh):
+    # all ids owned by partition 0 → seg_cap 4 must overflow
+    feat = np.ones((64, 4), np.float32)
+    parts = put_sharded(shard_interleaved(feat, NUM_DEV), mesh)
+    ids_np = np.zeros((NUM_DEV, 32), np.int32)  # node 0 → owner 0
+    ids = put_sharded(ids_np, mesh)
+
+    def fn(parts, ids):
+        out, over = partitioned_gather(
+            parts.reshape(parts.shape[-2], parts.shape[-1]),
+            ids.reshape(-1), "data", seg_cap=4,
+        )
+        return out[None], over[None]
+
+    _, over = jax.jit(
+        shard_map(fn, mesh=mesh, in_specs=(PS("data"), PS("data")),
+                  out_specs=(PS("data"), PS("data")))
+    )(parts, ids)
+    assert np.all(np.asarray(over))
+
+
+def test_collocated_train_step(mesh, small_ds):
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", cache_percentage=0.0,
+        lr=0.01, root_path="/tmp",
+    )
+    graph = Graph.from_dataset(small_ds)
+    caps = default_capacities(64, config.fanout, small_ds.num_node)
+    model = build_model(config, small_ds.feat_dim, small_ds.num_class)
+
+    # init params from one single-chip sampled batch
+    sampler = Sampler(graph, config, caps)
+    seeds0 = np.full(caps[0], EMPTY_KEY, np.int32)
+    seeds0[:64] = small_ds.train_set[:64]
+    b0 = sampler.sample(jnp.asarray(seeds0), 64, jax.random.key(0))
+    x0 = jnp.zeros((caps[-1], small_ds.feat_dim), jnp.float32)
+    state = init_state(model, config, b0.blocks, x0, jax.random.key(1))
+
+    step_fn = make_collocated_train_step(
+        model, config, mesh, caps, seg_cap=max(caps[-1] // NUM_DEV * 2, 64)
+    )
+
+    feat_parts = put_sharded(shard_interleaved(small_ds.feat, NUM_DEV), mesh)
+    lab_parts = put_sharded(
+        shard_interleaved(small_ds.label.astype(np.int32), NUM_DEV), mesh
+    )
+    graph_r = put_replicated(graph, mesh)
+    state = put_replicated(state, mesh)
+
+    rng = np.random.default_rng(3)
+    seeds = np.full((NUM_DEV, caps[0]), EMPTY_KEY, np.int32)
+    for d in range(NUM_DEV):
+        seeds[d, :64] = rng.choice(small_ds.train_set, 64, replace=False)
+    num_seeds = np.full((NUM_DEV,), 64, np.int32)
+    keys = jax.random.split(jax.random.key(5), NUM_DEV)
+    dkeys = jax.random.split(jax.random.key(6), NUM_DEV)
+
+    losses = []
+    for it in range(3):
+        keys = jax.vmap(jax.random.fold_in)(keys, np.full(NUM_DEV, it))
+        state, metrics = step_fn(
+            state, graph_r,
+            feat_parts, lab_parts,
+            put_sharded(seeds, mesh), put_sharded(num_seeds, mesh),
+            put_sharded(keys, mesh), put_sharded(dkeys, mesh),
+        )
+        assert not bool(metrics["exchange_overflow"])
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3

@@ -1,0 +1,159 @@
+"""Sampling kernel tests: validity invariants + distribution-level checks.
+
+The reference's sampling is nondeterministic, validated by opt-in sanity
+kernels (SURVEY §4.3).  Here we check hard invariants exactly (every sampled
+id is a true neighbor; without-replacement => no duplicates; full coverage at
+low degree) and uniformity via chi-square-style frequency bounds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xgnn_tpu import synthetic
+from xgnn_tpu.constants import EMPTY_KEY
+from xgnn_tpu.ops import sampling
+from xgnn_tpu.ops.random_walk import sample_random_walk
+
+
+@pytest.fixture(scope="module")
+def g(small_ds):
+    return (
+        jnp.asarray(small_ds.indptr),
+        jnp.asarray(small_ds.indices),
+        small_ds,
+    )
+
+
+def _neighbors(ds, v):
+    return set(ds.indices[ds.indptr[v] : ds.indptr[v + 1]].tolist())
+
+
+def _check_validity(ds, frontier, nbr, require_no_dup=False):
+    nbr = np.asarray(nbr)
+    for i, v in enumerate(frontier):
+        row = nbr[i]
+        valid = row[row != EMPTY_KEY]
+        if v == EMPTY_KEY:
+            assert len(valid) == 0
+            continue
+        ns = _neighbors(ds, v)
+        if len(ns) == 0:
+            assert len(valid) == 0
+            continue
+        assert set(valid.tolist()) <= ns, f"non-neighbor sampled for {v}"
+        if require_no_dup:
+            assert len(set(valid.tolist())) == len(valid)
+
+
+@pytest.mark.parametrize("fn_name,no_dup", [
+    ("sample_khop0", True),
+    ("sample_khop2", False),
+    ("sample_khop3", True),
+])
+def test_khop_validity(g, fn_name, no_dup):
+    indptr, indices, ds = g
+    fn = getattr(sampling, fn_name)
+    frontier = np.arange(0, 128, dtype=np.int32)
+    frontier[5] = EMPTY_KEY
+    nbr = fn(indptr, indices, jnp.asarray(frontier), 7, jax.random.key(0))
+    _check_validity(ds, frontier, nbr, require_no_dup=no_dup)
+
+
+def test_khop0_full_coverage_low_degree():
+    """d <= K must return every neighbor exactly once (reservoir contract)."""
+    ds = synthetic.make_synthetic_dataset(
+        num_node=50, avg_degree=3, feat_dim=4, num_class=2, seed=3,
+        power_law=False, with_feat=False,
+    )
+    indptr, indices = jnp.asarray(ds.indptr), jnp.asarray(ds.indices)
+    frontier = np.arange(50, dtype=np.int32)
+    nbr = np.asarray(
+        sampling.sample_khop0(indptr, indices, jnp.asarray(frontier), 16, jax.random.key(1))
+    )
+    for v in range(50):
+        ns = ds.indices[ds.indptr[v] : ds.indptr[v + 1]].tolist()
+        got = sorted(nbr[v][nbr[v] != EMPTY_KEY].tolist())
+        if len(ns) <= 16:
+            assert got == sorted(ns)
+
+
+def test_khop0_uniformity():
+    """Without-replacement picks must be uniform over the neighbor set."""
+    # one hub node with 40 neighbors, sample K=5 many times
+    indptr = jnp.asarray(np.array([0, 40], np.int32))
+    indices = jnp.asarray(np.arange(100, 140, dtype=np.int32))
+    frontier = jnp.zeros((256,), jnp.int32)  # 256 copies of node 0
+    counts = np.zeros(40)
+    for s in range(20):
+        nbr = np.asarray(
+            sampling.sample_khop0(indptr, indices, frontier, 5, jax.random.key(s))
+        )
+        ids, c = np.unique(nbr[nbr != EMPTY_KEY], return_counts=True)
+        counts[ids - 100] += c
+    total = counts.sum()
+    expected = total / 40
+    # each neighbor should be within 15% of the uniform expectation
+    assert np.all(np.abs(counts - expected) < 0.15 * expected), counts
+
+
+def test_weighted_khop_follows_weights(small_ds):
+    ds = synthetic.make_synthetic_dataset(
+        num_node=2, avg_degree=1, feat_dim=4, num_class=2, seed=5,
+        power_law=False, with_feat=False,
+    )
+    # hand-build: node 0 with 4 neighbors, weights [1, 1, 2, 4]
+    ds.indptr = np.array([0, 4, 4], np.int32)
+    ds.indices = np.array([10, 11, 12, 13], np.int32)[: 4]
+    ds.num_node, ds.num_edge = 2, 4
+    w = np.array([1.0, 1.0, 2.0, 4.0], np.float32)
+    # alias construction via synthetic helper on a custom weight vector
+    ds.prob_prefix_table = np.cumsum(w).astype(np.float32)
+    d = 4
+    p = w * d / w.sum()
+    # simple alias build
+    prob = p.copy(); alias = np.arange(d)
+    small = [i for i in range(d) if p[i] < 1]; large = [i for i in range(d) if p[i] >= 1]
+    while small and large:
+        sm, lg = small.pop(), large.pop()
+        alias[sm] = lg; prob[lg] -= (1 - prob[sm])
+        (small if prob[lg] < 1 else large).append(lg)
+    ds.prob_table, ds.alias_table = prob.astype(np.float32), alias.astype(np.int32)
+
+    frontier = jnp.zeros((512,), jnp.int32)
+    for fn in (
+        lambda f, k: sampling.sample_weighted_khop(
+            jnp.asarray(ds.indptr), jnp.asarray(ds.indices),
+            jnp.asarray(ds.prob_table), jnp.asarray(ds.alias_table), f, 8, k),
+        lambda f, k: sampling.sample_weighted_khop_prefix(
+            jnp.asarray(ds.indptr), jnp.asarray(ds.indices),
+            jnp.asarray(ds.prob_prefix_table), f, 8, k),
+    ):
+        counts = np.zeros(4)
+        for s in range(10):
+            nbr = np.asarray(fn(frontier, jax.random.key(s)))
+            ids, c = np.unique(nbr[nbr != EMPTY_KEY], return_counts=True)
+            counts[ids - 10] += c
+        frac = counts / counts.sum()
+        np.testing.assert_allclose(frac, w / w.sum(), atol=0.02)
+
+
+def test_random_walk_topk(g):
+    indptr, indices, ds = g
+    frontier = jnp.asarray(np.arange(64, dtype=np.int32))
+    neigh, weights = sample_random_walk(
+        indptr, indices, frontier, 5, jax.random.key(0),
+        num_random_walk=8, random_walk_length=3, restart_prob=0.5,
+    )
+    neigh, weights = np.asarray(neigh), np.asarray(weights)
+    assert neigh.shape == (64, 5)
+    for i in range(64):
+        row = neigh[i][neigh[i] != EMPTY_KEY]
+        # distinct, and never the seed itself
+        assert len(set(row.tolist())) == len(row)
+        assert i not in row
+        # weights positive exactly on valid entries, non-increasing
+        wrow = weights[i][neigh[i] != EMPTY_KEY]
+        assert np.all(wrow > 0)
+        assert np.all(np.diff(weights[i]) <= 1e-6)

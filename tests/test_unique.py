@@ -1,0 +1,72 @@
+"""Golden-value tests for ordered dedup/remap vs a NumPy oracle.
+
+Covers the contract of the reference OrderedHashTable
+(FillWithDuplicates/GPUMapEdges): unique preserving insertion order, seeds
+keep prefix positions, correct o2n remap.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xgnn_tpu.constants import EMPTY_KEY
+from xgnn_tpu.ops.unique import unique_ordered
+
+
+def np_unique_ordered(ids):
+    seen, out = {}, []
+    local = np.full(len(ids), EMPTY_KEY, np.int64)
+    for i, v in enumerate(ids):
+        if v == EMPTY_KEY:
+            continue
+        if v not in seen:
+            seen[v] = len(out)
+            out.append(v)
+        local[i] = seen[v]
+    return np.array(out, np.int64), local
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n,vocab,empty_frac", [(64, 16, 0.0), (256, 50, 0.3), (1000, 999, 0.1)])
+def test_unique_ordered_matches_oracle(seed, n, vocab, empty_frac):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, vocab, n).astype(np.int32)
+    ids[rng.random(n) < empty_frac] = EMPTY_KEY
+    cap = vocab + 8
+
+    uids, num_unique, local = jax.jit(
+        lambda x: unique_ordered(x, cap)
+    )(jnp.asarray(ids))
+    uids, num_unique, local = map(np.asarray, (uids, num_unique, local))
+
+    exp_uids, exp_local = np_unique_ordered(ids)
+    assert num_unique == len(exp_uids)
+    np.testing.assert_array_equal(uids[: len(exp_uids)], exp_uids)
+    assert np.all(uids[len(exp_uids):] == EMPTY_KEY)
+    np.testing.assert_array_equal(local, exp_local)
+
+
+def test_prefix_property():
+    """Previous frontier passed first keeps local ids 0..U-1 in order."""
+    prev = np.array([7, 3, 9, 11], np.int32)
+    nbrs = np.array([3, 9, 42, 7, 42, EMPTY_KEY, 11, 5], np.int32)
+    ids = np.concatenate([prev, nbrs])
+    uids, num_unique, local = unique_ordered(jnp.asarray(ids), 16)
+    np.testing.assert_array_equal(np.asarray(local[:4]), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(uids[:6]), [7, 3, 9, 11, 42, 5])
+    assert int(num_unique) == 6
+
+
+def test_all_empty():
+    ids = jnp.full((32,), EMPTY_KEY, jnp.int32)
+    uids, num_unique, local = unique_ordered(ids, 8)
+    assert int(num_unique) == 0
+    assert np.all(np.asarray(uids) == EMPTY_KEY)
+    assert np.all(np.asarray(local) == EMPTY_KEY)
+
+
+def test_overflow_detection():
+    ids = jnp.arange(100, dtype=jnp.int32)
+    _, num_unique, _ = unique_ordered(ids, 50)
+    assert int(num_unique) == 100  # caller sees overflow: num_unique > cap

@@ -1,0 +1,198 @@
+"""Run configuration.
+
+Dataclass mirror of the reference's global ``RunConfig`` static struct
+(``samgraph/common/run_config.h:31-133``) and its string-map loader
+(``samgraph/common/operation.cc:64-326``).  One config object is threaded
+through the engine instead of process-global statics — JAX is functional and
+a single host process drives all local chips, so no cross-process config
+broadcast is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from enum import Enum
+from typing import Optional, Sequence
+
+from . import constants
+
+
+class SampleType(Enum):
+    """Sampling algorithms (reference common.h:50-59)."""
+
+    KHOP0 = "khop0"  # uniform without replacement (vertex-parallel)
+    KHOP1 = "khop1"  # uniform without replacement (sample-parallel);
+    #                  identical semantics to khop0 on TPU — the split was a
+    #                  CUDA thread-mapping choice, not an algorithmic one.
+    KHOP2 = "khop2"  # uniform with replacement, duplicates kept
+    KHOP3 = "khop3"  # uniform with replacement + per-node dedup (XGNN default)
+    WEIGHTED_KHOP = "weighted_khop"  # alias-table weighted
+    WEIGHTED_KHOP_PREFIX = "weighted_khop_prefix"  # prefix-sum binary search
+    WEIGHTED_KHOP_HASH_DEDUP = "weighted_khop_hash_dedup"  # alias + dedup
+    RANDOM_WALK = "random_walk"  # PinSAGE random walk + top-K frequency
+
+
+class CachePolicy(Enum):
+    """Hot-vertex cache rankings (reference common.h:86-95)."""
+
+    DEGREE = "degree"
+    HEURISTIC = "heuristic"
+    PRE_SAMPLE = "pre_sample"  # frequency ranking from presample epochs (default)
+    DEGREE_HOP = "degree_hop"
+    PRE_SAMPLE_STATIC = "presample_static"
+    FAKE_OPTIMAL = "fake_optimal"
+    DYNAMIC = "dynamic_cache"
+    RANDOM = "random"
+
+
+class RunArch(Enum):
+    """Execution architectures, re-expressed for TPU.
+
+    The reference's arch0-9 matrix (common.h:61-81) collapses on TPU: one
+    process per host drives all local chips, so the fork/IPC split between
+    arch variants disappears.  What remains meaningful:
+
+    - ``SINGLE``   — one chip samples + extracts + trains (reference arch1).
+    - ``COLLOCATED`` — every chip samples/extracts/trains over a sharded
+      store + data-parallel model (reference arch6, the XGNN headline).
+    - ``DISAGGREGATED`` — dedicated sampler chips feed trainer chips
+      (reference arch5 / FGNN), expressed as mesh role-split.
+    """
+
+    SINGLE = "single"
+    COLLOCATED = "collocated"
+    DISAGGREGATED = "disaggregated"
+
+
+_ARCH_ALIASES = {
+    # reference arch names → TPU arch
+    "arch1": RunArch.SINGLE,
+    "arch2": RunArch.SINGLE,
+    "arch3": RunArch.SINGLE,
+    "arch4": RunArch.SINGLE,
+    "arch5": RunArch.DISAGGREGATED,
+    "arch6": RunArch.COLLOCATED,
+    "arch7": RunArch.COLLOCATED,
+    "single": RunArch.SINGLE,
+    "collocated": RunArch.COLLOCATED,
+    "disaggregated": RunArch.DISAGGREGATED,
+}
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # --- dataset -----------------------------------------------------------
+    root_path: str = "/graph-learning/samgraph/"
+    dataset: str = "products"
+
+    # --- execution ---------------------------------------------------------
+    arch: RunArch = RunArch.SINGLE
+    sample_type: SampleType = SampleType.KHOP3
+    num_epoch: int = 10
+    batch_size: int = 8000
+    fanout: Sequence[int] = (15, 10, 5)
+    num_worker: int = 1  # data-parallel chips (reference num_worker, arch6)
+    num_sample_worker: int = 1  # disaggregated mode only (reference arch5)
+    num_train_worker: int = 1
+    pipeline: bool = True  # overlap sample(n+1) with train(n)
+    prefetch_depth: int = 2  # bounded GraphPool analog depth
+
+    # --- model -------------------------------------------------------------
+    model: str = "graphsage"
+    num_hidden: int = 256
+    num_layer: int = 3
+    lr: float = 0.003
+    dropout: float = 0.5
+    weight_decay: float = 0.0
+    num_head: int = 1  # GAT
+    compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly training
+
+    # --- cache / store (GGMS analog) --------------------------------------
+    cache_policy: CachePolicy = CachePolicy.PRE_SAMPLE
+    cache_percentage: float = 0.0
+    presample_epoch: int = 1
+    use_dist_graph: bool = False  # shard topology across the chip mesh
+    part_cache: bool = False  # shard the feature cache across the chip mesh
+    gpu_extract: bool = True  # retained flag name for parity; on TPU the
+    #                           miss path is host-gather + async H2D
+
+    # --- random walk (PinSAGE, reference run_config.h:60-66) ---------------
+    random_walk_length: int = 3
+    random_walk_restart_prob: float = 0.5
+    num_random_walk: int = 4
+    num_neighbor: int = 5
+    num_layer_pinsage: int = 2
+
+    # --- capacity planning (static-shape sampling) -------------------------
+    # Per-layer frontier capacities.  None → calibrated from warmup batches
+    # with ALLOC_SCALE headroom (the PredictNumNodes analog,
+    # reference common.h:311-317).
+    frontier_capacities: Optional[Sequence[int]] = None
+    calibration_batches: int = 3
+    # khop0 exact without-replacement sampling uses a vectorized partial
+    # Fisher-Yates; beyond this degree it falls back to with-replacement +
+    # dedup (bias is O(K/d), negligible for d >> K).
+    khop0_exact_max_rounds: int = 4
+
+    # --- misc --------------------------------------------------------------
+    seed: int = 42
+    barriered_epoch: int = 0
+    report_acc: int = 0
+    profile_level: int = 0
+    sanity_check: bool = False
+    dump_trace: bool = False
+    unsupervised: bool = False
+
+    def __post_init__(self):
+        if isinstance(self.arch, str):
+            self.arch = _ARCH_ALIASES[self.arch]
+        if isinstance(self.sample_type, str):
+            self.sample_type = SampleType(self.sample_type)
+        if isinstance(self.cache_policy, str):
+            self.cache_policy = CachePolicy(self.cache_policy)
+        self.fanout = tuple(int(f) for f in self.fanout)
+        self._load_env()
+
+    def _load_env(self):
+        """Env-var overrides (reference run_config.cc:110-160)."""
+        env = os.environ
+        if constants.ENV_PROFILE_LEVEL in env:
+            self.profile_level = int(env[constants.ENV_PROFILE_LEVEL])
+        if constants.ENV_SANITY_CHECK in env:
+            self.sanity_check = env[constants.ENV_SANITY_CHECK] not in ("", "0")
+        if constants.ENV_DUMP_TRACE in env:
+            self.dump_trace = env[constants.ENV_DUMP_TRACE] not in ("", "0")
+
+    @property
+    def num_fanout(self) -> int:
+        return len(self.fanout)
+
+    @property
+    def dataset_path(self) -> str:
+        return os.path.join(self.root_path, self.dataset)
+
+    @classmethod
+    def from_dict(cls, conf: dict) -> "RunConfig":
+        """Build from a reference-style string map.
+
+        Accepts the key names used by the reference examples
+        (``example/samgraph/common_config.py`` + ``operation.cc:64-326``);
+        unknown keys are ignored so reference run scripts port over.
+        """
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        known = {k: v for k, v in conf.items() if k in field_names}
+        return cls(**known)
+
+    def to_dict(self) -> dict:
+        out = dataclasses.asdict(self)
+        out["arch"] = self.arch.value
+        out["sample_type"] = self.sample_type.value
+        out["cache_policy"] = self.cache_policy.value
+        return out
+
+    def print_run_config(self):
+        """stdout contract: ``config:key=value`` lines parsed by the
+        evaluation harness (reference common_config.py:236-245)."""
+        for k, v in sorted(self.to_dict().items()):
+            print(f"config:{k}={v}")

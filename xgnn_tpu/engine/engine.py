@@ -1,0 +1,271 @@
+"""The training engine: init, calibration, epoch loops, evaluation.
+
+TPU-native re-expression of the reference engine family
+(``common/engine.{h,cc}``, ``dist/dist_engine.cc``): one host process drives
+the local chips; the fork/shm/barrier machinery of ``DistEngine::Init``
+disappears.  Init order mirrors the reference
+(LoadGraphDataset → SampleInit → PreSample → cache build → TrainInit,
+dist_engine.cc:91-700):
+
+1. dataset → device topology (``Graph``)
+2. sampler build + capacity calibration (PredictNumNodes analog)
+3. presample frequency ranking → feature source (HBM or tiered GGMS)
+4. model + optimizer state
+5. pipelined epoch loop (sample → extract → train) with profiler
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import profiler as P
+from ..config import CachePolicy, RunConfig, SampleType
+from ..dataset import Dataset
+from ..models import build_model
+from ..sampler import Sampler, default_capacities
+from ..store import build_ranking, presample_ranking
+from ..store.feature_store import (
+    HBMFeatureSource,
+    LabelSource,
+    TieredFeatureSource,
+)
+from ..train import init_state, make_eval_step, make_train_step
+from ..types import Graph
+from .pipeline import Prefetcher
+from .shuffler import Shuffler
+
+
+def _align_up(n: int, num_node: int) -> int:
+    a = C.CAPACITY_ALIGN
+    return min(
+        int(np.ceil(max(num_node, 1) / a)) * a, int(np.ceil(max(n, 1) / a)) * a
+    )
+
+
+class Engine:
+    def __init__(
+        self,
+        dataset: Dataset,
+        config: RunConfig,
+        device=None,
+        feat_dtype=None,
+    ):
+        self.ds = dataset
+        self.config = config
+        self.device = device
+        self.feat_dtype = feat_dtype
+        self.profiler = P.Profiler(profile_level=config.profile_level)
+        self.graph: Optional[Graph] = None
+        self.sampler: Optional[Sampler] = None
+        self.feature_source = None
+        self.label_source = None
+        self.model = None
+        self.state = None
+        self._train_step = None
+        self._eval_step = None
+        self._key = jax.random.key(config.seed)
+        self._sample_key = jax.random.key(config.seed ^ 0x5A3F1E)
+        self._dropout_key = jax.random.key(config.seed ^ 0xD20F00)
+
+    # ------------------------------------------------------------------ init
+    def init(self):
+        cfg = self.config
+        t0 = time.perf_counter()
+        weighted = cfg.sample_type in (
+            SampleType.WEIGHTED_KHOP,
+            SampleType.WEIGHTED_KHOP_PREFIX,
+            SampleType.WEIGHTED_KHOP_HASH_DEDUP,
+        )
+        if getattr(self.ds, "graph", None) is not None:
+            self.graph = self.ds.graph  # device-resident dataset
+        else:
+            self.graph = Graph.from_dataset(
+                self.ds, self.device, weighted=weighted
+            )
+        self.profiler.log_init("graph_load_time", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        self.sampler = Sampler(self.graph, cfg)
+        self._calibrate()
+        self.profiler.log_init("sampler_build_time", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        self._build_feature_source()
+        self.label_source = LabelSource(self.ds.label, self.device)
+        self.profiler.log_init("cache_build_time", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        self.model = build_model(cfg, self.ds.feat_dim, self.ds.num_class)
+        seeds, n = self._first_batch_seeds()
+        self._key, k1, k2 = jax.random.split(self._key, 3)
+        batch = self.sampler.sample(seeds, n, k1)
+        x, _ = self.feature_source.extract(batch.input_nodes, batch.num_input)
+        self.state = init_state(self.model, cfg, batch.blocks, x, k2)
+        self._train_step = make_train_step(self.model, cfg)
+        self._eval_step = make_eval_step(self.model)
+        self.profiler.log_init("model_init_time", time.perf_counter() - t0)
+        return self
+
+    def _first_batch_seeds(self):
+        seeds = np.full(self.sampler.capacities[0], C.EMPTY_KEY, C.ID_DTYPE)
+        take = min(len(self.ds.train_set), self.config.batch_size)
+        seeds[:take] = self.ds.train_set[:take]
+        return jnp.asarray(seeds), take
+
+    def _calibrate(self):
+        """Tighten per-layer frontier capacities from warmup batches
+        (ALLOC_SCALE headroom; the PredictNumNodes analog)."""
+        cfg = self.config
+        if cfg.frontier_capacities is not None or cfg.calibration_batches <= 0:
+            return
+        shuffler = Shuffler(self.ds.train_set, cfg.batch_size, seed=cfg.seed)
+        observed = [0] * (len(self.sampler.fanouts) + 1)
+        observed[0] = cfg.batch_size
+        key = jax.random.key(cfg.seed ^ 0xCA11B)
+        for i, (seeds, n) in enumerate(shuffler.epoch_batches(0)):
+            if i >= cfg.calibration_batches:
+                break
+            key, k = jax.random.split(key)
+            batch = self.sampler.sample(jnp.asarray(seeds), n, k)
+            # frontier sizes innermost-first = reversed block order
+            sizes = [int(b.num_src) for b in batch.blocks]  # outer..inner
+            for layer, size in enumerate(reversed(sizes)):
+                observed[layer + 1] = max(observed[layer + 1], size)
+        caps = [self.sampler.capacities[0]] + [
+            _align_up(int(s * C.ALLOC_SCALE), self.graph.num_node)
+            for s in observed[1:]
+        ]
+        self.sampler = Sampler(self.graph, cfg, caps)
+        self.profiler.log_init("calibrated_input_cap", caps[-1])
+
+    def _build_feature_source(self):
+        cfg = self.config
+        if cfg.cache_percentage <= 0.0 or cfg.cache_percentage >= 1.0:
+            if cfg.cache_percentage >= 1.0 or self._feat_fits_hbm():
+                self.feature_source = HBMFeatureSource(
+                    self.ds.feat, self.device, self.feat_dtype
+                )
+                return
+        access_freq = None
+        if cfg.cache_policy in (
+            CachePolicy.PRE_SAMPLE,
+            CachePolicy.PRE_SAMPLE_STATIC,
+            CachePolicy.DYNAMIC,
+        ):
+            t0 = time.perf_counter()
+            access_freq = presample_ranking(
+                self.sampler, self.ds.train_set, cfg, self.graph.num_node
+            )
+            self.profiler.log_init("presample_time", time.perf_counter() - t0)
+        ranking = build_ranking(self.ds, cfg, access_freq)
+        self.feature_source = TieredFeatureSource(
+            self.ds.feat,
+            ranking,
+            cfg.cache_percentage,
+            self.device,
+            self.feat_dtype,
+        )
+
+    def _feat_fits_hbm(self) -> bool:
+        # default to HBM when no cache percentage was requested
+        return True
+
+    # ----------------------------------------------------------------- steps
+    def _produce(self, item):
+        """Sampler+extract stage (runs in the prefetch thread when
+        pipelining)."""
+        (seeds, num_valid), key = item
+        t0 = time.perf_counter()
+        batch = self.sampler.sample(jnp.asarray(seeds), num_valid, key)
+        if bool(batch.overflow):
+            self.sampler = self.sampler.grow()
+            batch = self.sampler.sample(jnp.asarray(seeds), num_valid, key)
+        t1 = time.perf_counter()
+        x, info = self.feature_source.extract(batch.input_nodes, batch.num_input)
+        labels = self.label_source.extract(batch.output_nodes, batch.num_output)
+        t2 = time.perf_counter()
+        return batch, x, labels, info, (t1 - t0, t2 - t1)
+
+    def train_epoch(self, epoch: int) -> dict:
+        cfg = self.config
+        shuffler = Shuffler(
+            self.ds.train_set, cfg.batch_size, seed=cfg.seed + 1, num_worker=1
+        )
+        prof = self.profiler
+
+        sample_base = jax.random.fold_in(self._sample_key, epoch)
+
+        def work():
+            for step, step_item in enumerate(shuffler.epoch_batches(epoch)):
+                yield step_item, jax.random.fold_in(sample_base, step)
+
+        produce = self._produce
+        stream = (
+            Prefetcher(work(), produce, depth=cfg.prefetch_depth)
+            if cfg.pipeline
+            else map(produce, work())
+        )
+
+        losses, accs = [], []
+        t_epoch = time.perf_counter()
+        drop_base = jax.random.fold_in(self._dropout_key, epoch)
+        for step, (batch, x, labels, info, (t_sample, t_extract)) in enumerate(stream):
+            k_drop = jax.random.fold_in(drop_base, step)
+            t0 = time.perf_counter()
+            self.state, metrics = self._train_step(
+                self.state, batch.blocks, x, labels, batch.num_output, k_drop
+            )
+            if not cfg.pipeline:
+                jax.block_until_ready(metrics["loss"])
+            t_train = time.perf_counter() - t0
+            prof.log_step(epoch, step, P.L1_SAMPLE_TIME, t_sample)
+            prof.log_step(epoch, step, P.L1_COPY_TIME, t_extract)
+            prof.log_step(epoch, step, P.L1_TRAIN_TIME, t_train)
+            prof.log_step(epoch, step, P.L2_CACHE_HIT_RATE, info["hit_rate"])
+            prof.log_step(epoch, step, P.L1_MISS_BYTES, info["miss_bytes"])
+            prof.log_step(epoch, step, P.L1_NUM_NODE, float(int(batch.num_input)))
+            losses.append(metrics["loss"])
+            accs.append(metrics["acc"])
+        loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        acc = float(np.mean([float(a) for a in accs])) if accs else float("nan")
+        dt = time.perf_counter() - t_epoch
+        prof.log_epoch_add(epoch, "epoch_time", dt)
+        return {"epoch": epoch, "loss": loss, "train_acc": acc, "time": dt}
+
+    def evaluate(self, split: str = "valid", max_batches: Optional[int] = None) -> float:
+        nodes = self.ds.valid_set if split == "valid" else self.ds.test_set
+        if len(nodes) == 0:
+            return float("nan")
+        shuffler = Shuffler(nodes, self.config.batch_size, seed=0)
+        accs, weights = [], []
+        for i, (seeds, n) in enumerate(shuffler.epoch_batches(0)):
+            if max_batches is not None and i >= max_batches:
+                break
+            k = jax.random.fold_in(jax.random.key(123), i)
+            batch, x, labels, _, _ = self._produce(((seeds, n), k))
+            acc = self._eval_step(
+                self.state.params, batch.blocks, x, labels, batch.num_output
+            )
+            accs.append(float(acc))
+            weights.append(n)
+        return float(np.average(accs, weights=weights))
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> dict:
+        self.init()
+        results = []
+        for epoch in range(self.config.num_epoch):
+            r = self.train_epoch(epoch)
+            results.append(r)
+            if self.config.report_acc and epoch % max(self.config.report_acc, 1) == 0:
+                r["valid_acc"] = self.evaluate("valid")
+        out = self.profiler.test_results(
+            extra={"final_train_acc": results[-1]["train_acc"] if results else 0.0}
+        )
+        return {"epochs": results, "test_results": out}

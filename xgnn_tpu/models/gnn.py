@@ -1,0 +1,241 @@
+"""GNN model zoo over dense-fanout sampled blocks.
+
+Re-implements the model families the reference trains through DGL
+(``example/samgraph/sgnn/train_{gcn,graphsage,pinsage}.py``,
+``example/samgraph/train_gat.py``) as Flax modules operating on this
+framework's static-shape :class:`~xgnn_tpu.types.Block` layout.
+
+The aggregation geometry is the TPU-native departure: instead of SpMM over
+ragged COO (the reference's cusparse path, ``sam_backend/scattergather.cu``),
+each layer gathers neighbor rows into a dense ``(dst, fanout, feat)`` tensor
+and reduces over the fanout axis with a validity mask — a gather + masked
+reduce + matmul chain that XLA fuses and tiles onto the MXU with no
+irregularity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import constants as C
+from ..types import Block
+
+
+def gather_neigh(h_src: jax.Array, block: Block):
+    """Gather neighbor features: ``(dst_cap, fanout, feat)`` + mask.
+
+    Only for small blocks — materializes the full (dst, K, F) tensor.  The
+    model layers use :func:`fanout_reduce` instead, which streams over the
+    fanout axis."""
+    mask = block.mask
+    idx = jnp.where(mask, block.neigh, 0)
+    nb = jnp.take(h_src, idx, axis=0, mode="clip")
+    return nb, mask
+
+
+def fanout_reduce(h_src: jax.Array, block: Block, weights=None):
+    """Masked (weighted) sum + count over neighbors WITHOUT materializing the
+    ``(dst, fanout, feat)`` tensor: a static unrolled loop of K row-gathers,
+    each fused by XLA into a gather+FMA.  At benchmark scale this is the
+    difference between a 400 MB and a 6 GB working set per layer.
+
+    Returns ``(sum, denom)`` with ``denom = Σ mask`` (or ``Σ weights``).
+    """
+    dst_cap, fanout = block.neigh.shape
+    acc = jnp.zeros((dst_cap, h_src.shape[1]), h_src.dtype)
+    denom = jnp.zeros((dst_cap, 1), h_src.dtype)
+    for k in range(fanout):
+        col = block.neigh[:, k]
+        m = (col != C.EMPTY_KEY).astype(h_src.dtype)[:, None]
+        if weights is not None:
+            m = m * weights[:, k].astype(h_src.dtype)[:, None]
+        rows = jnp.take(h_src, jnp.where(col != C.EMPTY_KEY, col, 0), axis=0,
+                        mode="clip")
+        acc = acc + rows * m
+        denom = denom + m
+    return acc, denom
+
+
+def masked_mean_stream(h_src: jax.Array, block: Block, weights=None):
+    s, denom = fanout_reduce(h_src, block, weights)
+    return s / jnp.maximum(denom, 1e-9)
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE mean aggregator (DGL ``SAGEConv('mean')`` semantics:
+    ``W_self h_dst + W_neigh mean(h_N)``)."""
+
+    out_dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
+        h_dst = h_src[: block.dst_cap]
+        h_neigh = masked_mean_stream(h_src, block)
+        return nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(
+            h_dst
+        ) + nn.Dense(self.out_dim, use_bias=True, param_dtype=self.param_dtype)(h_neigh)
+
+
+class PinSAGEConv(nn.Module):
+    """SAGE-style aggregation with visit-count edge weights from the random
+    walk sampler (reference emits weights in ``TrainGraph::data``)."""
+
+    out_dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
+        h_dst = h_src[: block.dst_cap]
+        h_neigh = masked_mean_stream(h_src, block, weights=block.weights)
+        return nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(
+            h_dst
+        ) + nn.Dense(self.out_dim, use_bias=True, param_dtype=self.param_dtype)(h_neigh)
+
+
+class GCNConv(nn.Module):
+    """Graph convolution with symmetric normalization (DGL ``GraphConv``
+    ``norm='both'``, ``allow_zero_in_degree=True``): degrees are computed on
+    the sampled block."""
+
+    out_dim: int
+    activation: Optional[Callable] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
+        mask = block.mask
+        maskf = mask.astype(h_src.dtype)
+        # block-local degrees: src out-degree via scatter-count, dst in-degree
+        # via row mask sum
+        idx = jnp.where(mask, block.neigh, 0)
+        out_deg = (
+            jnp.zeros((h_src.shape[0],), h_src.dtype)
+            .at[idx.reshape(-1)]
+            .add(maskf.reshape(-1), mode="drop")
+        )
+        in_deg = jnp.sum(maskf, axis=1)
+
+        h = nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(h_src)
+        h = h * (1.0 / jnp.sqrt(jnp.maximum(out_deg, 1.0)))[:, None]
+        agg, _ = fanout_reduce(h, block)
+        agg = agg * (1.0 / jnp.sqrt(jnp.maximum(in_deg, 1.0)))[:, None]
+        agg = agg + self.param(
+            "bias", nn.initializers.zeros, (self.out_dim,), self.param_dtype
+        )
+        if self.activation is not None:
+            agg = self.activation(agg)
+        return agg
+
+
+class GATConv(nn.Module):
+    """Graph attention (DGL ``GATConv`` semantics, sampled-block edition).
+
+    The "sequence" dimension of GAT is the fanout axis: SDDMM + edge-softmax
+    + SpMM (reference SURVEY §5.7) collapses to a masked softmax over the
+    dense ``(dst, fanout)`` score matrix — no ragged segment ops.
+    """
+
+    out_dim: int
+    num_heads: int = 1
+    negative_slope: float = 0.2
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
+        h, d = self.num_heads, self.out_dim
+        feat = nn.Dense(h * d, use_bias=False, param_dtype=self.param_dtype)(h_src)
+        feat = feat.reshape(-1, h, d)  # (src, H, D)
+        attn_l = self.param("attn_l", nn.initializers.glorot_uniform(), (h, d), self.param_dtype)
+        attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (h, d), self.param_dtype)
+        el = jnp.sum(feat * attn_l, axis=-1)  # (src, H) — dst-side term
+        er = jnp.sum(feat * attn_r, axis=-1)  # (src, H) — src-side term
+
+        mask = block.mask
+        idx = jnp.where(mask, block.neigh, 0)
+        # attention scores (dst, K, H): H is small, safe to materialize —
+        # only the (dst, K, H, D) feature gather is streamed below
+        er_k = jnp.stack(
+            [jnp.take(er, idx[:, k], axis=0, mode="clip") for k in range(block.fanout)],
+            axis=1,
+        )
+        e = el[: block.dst_cap, None, :] + er_k
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)  # (dst, K, H)
+        e = jnp.where(mask[..., None], e, -jnp.inf)
+        e_max = jnp.max(e, axis=1, keepdims=True)
+        e_max = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
+        a = jnp.exp(e - e_max) * mask[..., None]
+        a = a / jnp.maximum(jnp.sum(a, axis=1, keepdims=True), 1e-9)
+
+        # streamed weighted sum over the fanout axis (no (dst,K,H,D) tensor)
+        out = jnp.zeros((block.dst_cap, h, d), feat.dtype)
+        for k in range(block.fanout):
+            rows = jnp.take(feat, idx[:, k], axis=0, mode="clip")  # (dst,H,D)
+            out = out + rows * a[:, k, :, None]
+        return out.reshape(block.dst_cap, h * d)
+
+
+_CONVS = {
+    "graphsage": SAGEConv,
+    "gcn": GCNConv,
+    "gat": GATConv,
+    "pinsage": PinSAGEConv,
+}
+
+
+class GNN(nn.Module):
+    """Multi-layer GNN over a list of sampled blocks (outermost first).
+
+    Mirrors the reference model builders: dropout between layers, ReLU on
+    hidden layers, raw logits out
+    (``example/samgraph/sgnn/train_gcn.py:18-46``).
+    """
+
+    conv: str
+    hidden_dim: int
+    out_dim: int
+    num_layers: int
+    dropout: float = 0.5
+    num_heads: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, blocks: Sequence[Block], x: jax.Array, train: bool = False):
+        conv_cls = _CONVS[self.conv]
+        h = x.astype(self.compute_dtype)
+        for i in range(self.num_layers):
+            if i != 0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
+            kwargs = {}
+            if conv_cls is GATConv:
+                # heads on hidden layers, single head for logits (DGL style)
+                kwargs["num_heads"] = 1 if i == self.num_layers - 1 else self.num_heads
+                if i != self.num_layers - 1:
+                    dim = self.hidden_dim // max(self.num_heads, 1)
+            layer = conv_cls(out_dim=dim, **kwargs)
+            h = layer(blocks[i], h)
+            if i != self.num_layers - 1:
+                h = nn.relu(h)
+        return h.astype(jnp.float32)
+
+
+def build_model(config, feat_dim: int, num_class: int) -> GNN:
+    del feat_dim
+    name = config.model
+    num_layers = (
+        config.num_layer_pinsage if name == "pinsage" else config.num_layer
+    )
+    return GNN(
+        conv=name,
+        hidden_dim=config.num_hidden,
+        out_dim=num_class,
+        num_layers=num_layers,
+        dropout=config.dropout,
+        num_heads=config.num_head,
+        compute_dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+    )

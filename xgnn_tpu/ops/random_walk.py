@@ -1,0 +1,85 @@
+"""Random-walk sampling with top-K frequency selection (PinSAGE path).
+
+TPU-native re-expression of the reference's restart random walks +
+``FrequencyHashmap`` per-node top-K
+(``samgraph/common/cuda/cuda_sampling_random_walk.cu``,
+``cuda/cuda_frequency_hashmap.{h,cu}``): walks are unrolled as W parallel
+chains per seed with static length L; visit counting replaces the GPU hash
+map with an in-row O(M^2) match-count (M = W*L is small and static), and
+``lax.top_k`` picks the K most-visited distinct neighbors.  Visit counts are
+emitted as edge weights, matching the reference's ``TrainGraph::data``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+EMPTY = C.EMPTY_KEY
+
+
+def _uniform_step(indptr, indices, cur, key):
+    """One uniform neighbor step; nodes with no neighbors stay put as EMPTY."""
+    valid = cur != EMPTY
+    node = jnp.where(valid, cur, 0)
+    start = indptr[node]
+    deg = jnp.where(valid, indptr[node + 1] - start, 0)
+    u = jax.random.uniform(key, cur.shape)
+    off = jnp.minimum(
+        jnp.floor(u * deg).astype(jnp.int32), jnp.maximum(deg - 1, 0)
+    )
+    nbr = indices[start + off]
+    return jnp.where(deg > 0, nbr, EMPTY)
+
+
+def sample_random_walk(
+    indptr,
+    indices,
+    frontier,
+    fanout: int,
+    key,
+    *,
+    num_random_walk: int,
+    random_walk_length: int,
+    restart_prob: float,
+):
+    """Run restart random walks and keep each seed's top-``fanout`` most
+    frequently visited distinct nodes.
+
+    Returns ``(neigh_ids, counts)``: ``(B, fanout)`` global neighbor ids
+    (``EMPTY_KEY`` padded) and their float32 visit counts (edge weights).
+    """
+    b = frontier.shape[0]
+    w, l = num_random_walk, random_walk_length
+    seed2d = jnp.broadcast_to(frontier[:, None], (b, w))
+    cur = seed2d
+    visits = []
+    for step in range(l):
+        key, k_step, k_restart = jax.random.split(key, 3)
+        nxt = _uniform_step(indptr, indices, cur, k_step)
+        if step > 0:
+            restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
+            cur = jnp.where(restart, seed2d, cur)
+            nxt = jnp.where(restart, _uniform_step(indptr, indices, cur, k_step), nxt)
+        visits.append(nxt)
+        cur = jnp.where(nxt == EMPTY, seed2d, nxt)  # stuck walks restart
+
+    v = jnp.stack(visits, axis=2).reshape(b, w * l)  # (B, M)
+    v = jnp.where(v == frontier[:, None], EMPTY, v)  # seed itself not a neighbor
+
+    # in-row frequency count: M is small and static → O(M^2) match matrix
+    eq = v[:, :, None] == v[:, None, :]  # (B, M, M)
+    counts = jnp.sum(eq, axis=2).astype(jnp.int32)
+    m = v.shape[1]
+    tri = jnp.tril(jnp.ones((m, m), jnp.bool_), k=-1)
+    seen_before = jnp.any(eq & tri[None, :, :], axis=2)
+    is_first = (~seen_before) & (v != EMPTY)
+
+    score = jnp.where(is_first, counts, -1)
+    top_score, top_idx = jax.lax.top_k(score, fanout)
+    neigh = jnp.take_along_axis(v, top_idx, axis=1)
+    neigh = jnp.where(top_score > 0, neigh, EMPTY)
+    weights = jnp.where(top_score > 0, top_score, 0).astype(jnp.float32)
+    return neigh, weights

@@ -1,0 +1,80 @@
+"""Ordered frontier dedup + id remap.
+
+TPU-native equivalent of the reference's versioned GPU ``OrderedHashTable``
+(``samgraph/common/cuda/cuda_hashtable.h:35-153``) whose
+``FillWithDuplicates`` returns the compact unique frontier *preserving
+insertion order* and whose o2n map remaps edge endpoints to local ids
+(``cuda/cuda_mapping.cu:1-85``).
+
+Open-addressing hash tables are a poor fit for the VPU; instead we use a
+sort-based formulation (3 sorts + scatters, all static shapes, fully
+jittable).  Insertion-order preservation matters: when the previous frontier
+is passed first in ``ids``, its nodes keep local ids ``0..len(prev)-1``, so
+the destination nodes of a sampled block are a prefix of its source nodes —
+the same self-alignment contract DGL blocks and the reference rely on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+EMPTY = C.EMPTY_KEY
+
+
+def unique_ordered(ids: jax.Array, out_cap: int):
+    """Deduplicate ``ids`` preserving first-occurrence order.
+
+    Args:
+      ids: ``(N,)`` int32 node ids, padded with ``EMPTY_KEY`` anywhere.
+      out_cap: static capacity of the unique output.
+
+    Returns:
+      ``(unique_ids, num_unique, local_ids)`` where
+
+      - ``unique_ids``: ``(out_cap,)`` unique ids in first-occurrence order,
+        ``EMPTY_KEY``-padded.
+      - ``num_unique``: scalar int32 (may exceed ``out_cap`` — caller must
+        treat that as capacity overflow).
+      - ``local_ids``: ``(N,)`` position of each input id in ``unique_ids``
+        (``EMPTY_KEY`` for empty inputs).
+    """
+    n = ids.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(ids, stable=True)
+    sid = ids[order]
+    spos = pos[order]  # ascending within equal-id runs (stable sort)
+
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]]
+    ) & (sid != EMPTY)
+    num_unique = jnp.sum(is_first).astype(jnp.int32)
+
+    # Rank each run's first element by its original position → the
+    # first-occurrence-order local id of that unique value.
+    first_key = jnp.where(is_first, spos, n).astype(jnp.int32)
+    occ_rank = jnp.argsort(jnp.argsort(first_key, stable=True), stable=True)
+    occ_rank = occ_rank.astype(jnp.int32)
+
+    # Propagate each run's local id to all of the run's elements.
+    run_idx = jnp.maximum(jnp.cumsum(is_first) - 1, 0).astype(jnp.int32)
+    run_occ = (
+        jnp.zeros(n, jnp.int32)
+        .at[run_idx]
+        .max(jnp.where(is_first, occ_rank, 0), mode="drop")
+    )
+    local_sorted = run_occ[run_idx]
+
+    # Scatter local ids back to original input order.
+    local_ids = jnp.zeros(n, jnp.int32).at[spos].set(local_sorted)
+    local_ids = jnp.where(ids == EMPTY, EMPTY, local_ids)
+
+    # Compact unique values into first-occurrence order.
+    unique_ids = (
+        jnp.full(out_cap, EMPTY, ids.dtype)
+        .at[jnp.where(is_first, occ_rank, out_cap)]
+        .set(sid, mode="drop")
+    )
+    return unique_ids, num_unique, local_ids

@@ -1,0 +1,147 @@
+"""Collocated multi-chip training step (the XGNN arch6 analog).
+
+Every chip samples, extracts, and trains its own mini-batch shard (reference
+``RunArch6LoopsOnce``, ``dist/dist_loops_arch6.cc:55-199``) — expressed as ONE
+jitted SPMD program over a named mesh:
+
+  per chip: sample (replicated topology) → feature fetch from the
+  partitioned HBM store via sorted all-to-all (``exchange.partitioned_gather``,
+  replacing NVLink P2P reads) → forward/backward → gradient psum (the
+  NCCL-DDP analog) → replicated optimizer update.
+
+The feature store sharding is the ``--part-cache`` / GGMS path; topology
+partition (``--use-dist-graph``) has its own exchange in
+``dist_topology.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as PS
+from jax import shard_map
+
+from .. import constants as C
+from ..config import RunConfig
+from ..sampler import _sample_minibatch
+from ..train import TrainState, loss_fn, make_optimizer
+from ..types import Graph
+from .exchange import partitioned_gather
+from .mesh import DATA_AXIS
+
+
+def make_collocated_train_step(
+    model,
+    config: RunConfig,
+    mesh,
+    capacities,
+    seg_cap: int,
+    axis_name: str = DATA_AXIS,
+):
+    """Build the full SPMD train step.
+
+    Signature of the returned jitted fn::
+
+        (state, graph, feat_parts, label_parts, seeds, num_seeds, keys)
+            -> (state, metrics)
+
+    - ``state``: replicated TrainState.
+    - ``graph``: replicated Graph (topology).
+    - ``feat_parts``: (P, rows, F) interleave-partitioned features
+      (from ``exchange.shard_interleaved``), sharded over ``axis_name``.
+    - ``label_parts``: (P, rows) interleave-partitioned labels.
+    - ``seeds``: (P, batch_cap) per-chip seed shards; ``num_seeds``: (P,);
+      ``keys``: (P,) per-chip RNG keys (uint32 pairs).
+    """
+    tx = make_optimizer(config)
+    fanouts = tuple(config.fanout)
+    caps = tuple(int(c) for c in capacities)
+    rw = (
+        config.num_random_walk,
+        config.random_walk_length,
+        config.random_walk_restart_prob,
+    )
+
+    def per_chip(state, graph, feat_part, label_part, seeds, num_seed, key, drop_key):
+        seeds = seeds.reshape(-1)
+        num_seed = num_seed.reshape(())
+        key = key.reshape(())
+        drop_key = drop_key.reshape(())
+        batch = _sample_minibatch(
+            graph,
+            seeds,
+            num_seed,
+            key,
+            sample_type=config.sample_type,
+            fanouts=fanouts,
+            capacities=caps,
+            rw_params=rw,
+        )
+        feat_local = feat_part.reshape(feat_part.shape[-2], feat_part.shape[-1])
+        x, overflow = partitioned_gather(
+            feat_local, batch.input_nodes, axis_name, seg_cap
+        )
+        lab_local = label_part.reshape(-1, 1)
+        labels, _ = partitioned_gather(
+            lab_local, batch.output_nodes, axis_name, seg_cap
+        )
+        labels = labels[:, 0]
+
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params}, batch.blocks, x, True,
+                rngs={"dropout": drop_key},
+            )
+            return loss_fn(logits, labels, batch.num_output)
+
+        (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        acc = jax.lax.pmean(acc, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {
+            "loss": loss,
+            "acc": acc,
+            "exchange_overflow": jax.lax.pmax(
+                overflow | batch.overflow, axis_name
+            ),
+        }
+        return new_state, metrics
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(
+            PS(),  # state (replicated)
+            PS(),  # graph (replicated)
+            PS(axis_name),  # feat parts
+            PS(axis_name),  # label parts
+            PS(axis_name),  # seeds
+            PS(axis_name),  # num_seeds
+            PS(axis_name),  # sample keys
+            PS(axis_name),  # dropout keys
+        ),
+        out_specs=(PS(), PS()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def put_replicated(tree, mesh):
+    sharding = NamedSharding(mesh, PS())
+    return jax.device_put(tree, sharding)
+
+
+def put_sharded(arr, mesh, axis_name: str = DATA_AXIS):
+    sharding = NamedSharding(mesh, PS(axis_name))
+    return jax.device_put(arr, sharding)

@@ -1,0 +1,196 @@
+"""Multi-layer mini-batch sampler.
+
+TPU-native re-expression of the reference's ``DoGPUSample`` stage
+(``samgraph/common/dist/dist_loops.cc:62-368``): per layer — sample a fixed
+fanout from the current frontier, dedup into a new compact frontier
+(``OrderedHashTable::FillWithDuplicates`` → ``ops.unique_ordered``), and
+remap neighbor ids to frontier-local indices (``GPUMapEdges`` →
+the remap output of ``unique_ordered``).  Everything is statically shaped
+and jitted once per capacity configuration.
+
+Capacity planning: ragged frontier sizes become padded static capacities.
+Defaults come from a calibration pass over warmup batches scaled by
+``ALLOC_SCALE`` (the ``PredictNumNodes`` analog, reference
+common.h:311-317); runtime overflow is flagged in the batch and the engine
+rebuilds with grown capacities.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .config import RunConfig, SampleType
+from .ops import sampling, unique
+from .ops.random_walk import sample_random_walk
+from .types import Block, Graph, SampledBatch
+
+EMPTY = C.EMPTY_KEY
+
+
+def _align(n: int, num_node: int) -> int:
+    a = C.CAPACITY_ALIGN
+    return min(int(np.ceil(num_node / a)) * a, int(np.ceil(n / a)) * a)
+
+
+def default_capacities(
+    batch_size: int, fanouts: Sequence[int], num_node: int
+) -> list[int]:
+    """Worst-case per-layer frontier capacities (cap_{l+1} = cap_l*(K+1)),
+    clamped to the node count.  Safe but loose — calibration tightens."""
+    caps = [_align(batch_size, num_node)]
+    for k in fanouts:
+        caps.append(_align(caps[-1] * (k + 1), num_node))
+    return caps
+
+
+def _layer_fanouts(config: RunConfig) -> tuple[int, ...]:
+    if config.sample_type == SampleType.RANDOM_WALK:
+        return tuple([config.num_neighbor] * config.num_layer_pinsage)
+    return tuple(config.fanout)
+
+
+class Sampler:
+    """Builds and owns the jitted multi-layer sampling function.
+
+    One instance per (graph, capacity set); rebuilt on capacity overflow.
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        config: RunConfig,
+        capacities: Optional[Sequence[int]] = None,
+    ):
+        self.graph = graph
+        self.config = config
+        self.fanouts = _layer_fanouts(config)
+        num_node = graph.num_node
+        if capacities is None:
+            capacities = config.frontier_capacities
+        if capacities is None:
+            capacities = default_capacities(
+                config.batch_size, self.fanouts, num_node
+            )
+        self.capacities = list(int(c) for c in capacities)
+        assert len(self.capacities) == len(self.fanouts) + 1
+        self._fn = jax.jit(
+            functools.partial(
+                _sample_minibatch,
+                sample_type=config.sample_type,
+                fanouts=self.fanouts,
+                capacities=tuple(self.capacities),
+                rw_params=(
+                    config.num_random_walk,
+                    config.random_walk_length,
+                    config.random_walk_restart_prob,
+                ),
+            )
+        )
+
+    def sample(self, seeds: jax.Array, num_seed, key) -> SampledBatch:
+        """Sample one mini-batch.
+
+        ``seeds``: (batch_cap,) int32 global train-node ids, EMPTY padded.
+        """
+        return self._fn(self.graph, seeds, jnp.asarray(num_seed, jnp.int32), key)
+
+    def grow(self, factor: float = 2.0) -> "Sampler":
+        """Return a sampler with scaled capacities (overflow response)."""
+        caps = [self.capacities[0]] + [
+            _align(int(c * factor), self.graph.num_node)
+            for c in self.capacities[1:]
+        ]
+        return Sampler(self.graph, self.config, caps)
+
+
+def _sample_layer(graph: Graph, frontier, fanout, key, sample_type, rw_params):
+    st = SampleType
+    weights = None
+    if sample_type in (st.KHOP0, st.KHOP1):
+        nbr = sampling.sample_khop0(graph.indptr, graph.indices, frontier, fanout, key)
+    elif sample_type == st.KHOP2:
+        nbr = sampling.sample_khop2(graph.indptr, graph.indices, frontier, fanout, key)
+    elif sample_type == st.KHOP3:
+        nbr = sampling.sample_khop3(graph.indptr, graph.indices, frontier, fanout, key)
+    elif sample_type == st.WEIGHTED_KHOP:
+        nbr = sampling.sample_weighted_khop(
+            graph.indptr, graph.indices, graph.prob_table, graph.alias_table,
+            frontier, fanout, key,
+        )
+    elif sample_type == st.WEIGHTED_KHOP_HASH_DEDUP:
+        nbr = sampling.sample_weighted_khop_hash_dedup(
+            graph.indptr, graph.indices, graph.prob_table, graph.alias_table,
+            frontier, fanout, key,
+        )
+    elif sample_type == st.WEIGHTED_KHOP_PREFIX:
+        nbr = sampling.sample_weighted_khop_prefix(
+            graph.indptr, graph.indices, graph.prob_prefix_table,
+            frontier, fanout, key,
+        )
+    elif sample_type == st.RANDOM_WALK:
+        num_rw, rw_len, restart = rw_params
+        nbr, weights = sample_random_walk(
+            graph.indptr, graph.indices, frontier, fanout, key,
+            num_random_walk=num_rw,
+            random_walk_length=rw_len,
+            restart_prob=restart,
+        )
+    else:
+        raise NotImplementedError(sample_type)
+    return nbr, weights
+
+
+def _sample_minibatch(
+    graph: Graph,
+    seeds: jax.Array,
+    num_seed: jax.Array,
+    key: jax.Array,
+    *,
+    sample_type: SampleType,
+    fanouts: tuple,
+    capacities: tuple,
+    rw_params: tuple,
+) -> SampledBatch:
+    """The jitted sampling pipeline (innermost layer first, like the
+    reference's ``for layer = L-1..0`` loop, dist_loops.cc:120-355)."""
+    frontier = seeds
+    num_frontier = num_seed
+    blocks = []
+    overflow = jnp.zeros((), jnp.bool_)
+    for layer, fanout in enumerate(fanouts):
+        key, k_layer = jax.random.split(key)
+        nbr, weights = _sample_layer(
+            graph, frontier, fanout, k_layer, sample_type, rw_params
+        )
+        ids = jnp.concatenate([frontier, nbr.reshape(-1)])
+        out_cap = capacities[layer + 1]
+        uids, num_unique, local = unique.unique_ordered(ids, out_cap)
+        neigh_local = local[frontier.shape[0] :].reshape(nbr.shape)
+        blocks.append(
+            Block(
+                neigh=neigh_local,
+                num_dst=num_frontier,
+                num_src=num_unique,
+                weights=weights,
+            )
+        )
+        overflow = overflow | (num_unique > out_cap)
+        frontier = uids
+        num_frontier = jnp.minimum(num_unique, out_cap)
+
+    blocks.reverse()  # DGL order: outermost (largest src) first
+    return SampledBatch(
+        blocks=tuple(blocks),
+        input_nodes=frontier,
+        num_input=num_frontier,
+        output_nodes=seeds,
+        num_output=num_seed,
+        key=key,
+        overflow=overflow,
+    )

@@ -1,0 +1,171 @@
+"""Feature extraction sources: HBM-resident, and tiered HBM-cache + host-RAM.
+
+TPU-native re-expression of the reference's feature path:
+
+- ``HBMFeatureSource`` — whole feature matrix in device HBM (the fits-in-GPU
+  case; reference arch1 / full cache).
+- ``TieredFeatureSource`` — the GGMS cache pipeline re-designed for TPU
+  (reference ``GPUCacheManager``, ``cuda/cuda_cache_manager_device.cu``):
+  a hot-row cache in HBM (prefix of a policy ranking) with a flat node→slot
+  position map (the sampler-side cache hashtable,
+  ``dist/dist_engine.cc:266-302``), and a host-RAM cold tier.
+  ``GetMissCacheIndex``'s count/scan/compact kernels collapse to one
+  argsort-based split under jit; ``GPUExtractMissData``'s zero-copy PCIe
+  gather becomes a host gather + async H2D of a bucket-padded miss buffer;
+  ``CombineMissData``/``CombineCacheData`` become one fused masked
+  gather-scatter.
+
+Labels stay HBM-resident (int32 per node is small even at papers100M scale),
+replacing ``DoGPULabelExtract`` (dist_loops.cc:938-974).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+EMPTY = C.EMPTY_KEY
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    """Round up to a power-of-two bucket ≥ minimum (bounds recompiles of the
+    miss-combine kernel to O(log) variants)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _gather_rows(feat, ids, num_valid):
+    n = ids.shape[0]
+    valid = jnp.arange(n) < num_valid
+    idx = jnp.where(valid & (ids != EMPTY), ids, 0)
+    return jnp.take(feat, idx, axis=0, mode="clip")
+
+
+class FeatureSource:
+    """Interface: map device-resident node ids to device-resident features."""
+
+    feat_dim: int
+
+    def extract(self, input_nodes: jax.Array, num_input) -> tuple[jax.Array, dict]:
+        raise NotImplementedError
+
+
+class HBMFeatureSource(FeatureSource):
+    def __init__(self, feat: np.ndarray, device=None, dtype=None):
+        arr = jnp.asarray(np.asarray(feat), dtype=dtype)
+        self.feat = jax.device_put(arr, device)
+        self.feat_dim = int(self.feat.shape[1])
+
+    def extract(self, input_nodes, num_input):
+        out = _gather_rows(self.feat, input_nodes, num_input)
+        return out, {"hit_rate": 1.0, "miss_bytes": 0}
+
+
+class TieredFeatureSource(FeatureSource):
+    """HBM hot-row cache + host-RAM cold store."""
+
+    def __init__(
+        self,
+        feat_host: np.ndarray,
+        ranking: np.ndarray,
+        cache_percentage: float,
+        device=None,
+        dtype=None,
+        host_gather=None,
+    ):
+        num_node, self.feat_dim = feat_host.shape
+        self.feat_host = feat_host
+        self.num_cache = int(num_node * cache_percentage)
+        cache_ids = np.asarray(ranking[: self.num_cache], dtype=np.int64)
+        posmap = np.full(num_node, EMPTY, np.int32)
+        posmap[cache_ids] = np.arange(self.num_cache, dtype=np.int32)
+        self.posmap = jax.device_put(jnp.asarray(posmap), device)
+        cache_rows = (
+            np.asarray(feat_host)[cache_ids]
+            if self.num_cache
+            else np.zeros((1, self.feat_dim), feat_host.dtype)
+        )
+        self.cache_feat = jax.device_put(jnp.asarray(cache_rows, dtype=dtype), device)
+        self.device = device
+        self.dtype = dtype or self.cache_feat.dtype
+        # host-side gather kernel (OMP C++ when available; numpy fallback)
+        self._host_gather = host_gather or (
+            lambda ids: np.asarray(self.feat_host[ids])
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _split(self, input_nodes, num_input):
+        """Hit/miss split: the GetMissCacheIndex stage
+        (cuda_cache_manager_device.cu:41-170) as one argsort compaction."""
+        n = input_nodes.shape[0]
+        valid = jnp.arange(n) < num_input
+        safe_ids = jnp.where(valid & (input_nodes != EMPTY), input_nodes, 0)
+        slots = self.posmap[safe_ids]
+        hit = valid & (slots != EMPTY)
+        miss = valid & ~hit
+        num_miss = jnp.sum(miss).astype(jnp.int32)
+        num_hit = jnp.sum(hit).astype(jnp.int32)
+        # compact miss positions to the front (stable: preserves order)
+        perm = jnp.argsort(~miss, stable=True)  # misses (True→~False) first
+        miss_pos = perm  # positions into input_nodes; first num_miss are misses
+        miss_ids = jnp.where(
+            jnp.arange(n) < num_miss, input_nodes[miss_pos], 0
+        )
+        # cached rows gathered immediately (overlaps with host miss gather)
+        cached = jnp.take(
+            self.cache_feat, jnp.where(hit, slots, 0), axis=0, mode="clip"
+        )
+        cached = cached * hit[:, None].astype(self.cache_feat.dtype)
+        return cached, miss_ids, miss_pos, num_miss, num_hit
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _combine(self, cached, miss_rows, miss_pos, num_miss):
+        """Scatter miss rows into their original positions (CombineMissData,
+        cuda_cache_manager_device.cu:627-731)."""
+        bucket = miss_rows.shape[0]
+        n = cached.shape[0]
+        tgt = jnp.where(jnp.arange(bucket) < num_miss, miss_pos[:bucket], n)
+        return cached.at[tgt].set(miss_rows.astype(cached.dtype), mode="drop")
+
+    def extract(self, input_nodes, num_input):
+        cached, miss_ids, miss_pos, num_miss, num_hit = self._split(
+            input_nodes, num_input
+        )
+        nm = int(num_miss)  # host sync point — pipelining hides it
+        # bucket ≥ nm always holds: nm ≤ cap and _bucket(nm) ≥ nm
+        bucket = min(_bucket(max(nm, 1)), input_nodes.shape[0])
+        ids_host = np.asarray(miss_ids[:bucket])[:nm].astype(np.int64)
+        rows = self._host_gather(ids_host)
+        padded = np.zeros((bucket, self.feat_dim), rows.dtype)
+        padded[:nm] = rows
+        miss_rows = jax.device_put(jnp.asarray(padded), self.device)
+        out = self._combine(cached, miss_rows, miss_pos, num_miss)
+        nh = int(num_hit)
+        total = max(nm + nh, 1)
+        return out, {
+            "hit_rate": nh / total,
+            "miss_bytes": nm * self.feat_dim * rows.dtype.itemsize,
+        }
+
+
+class LabelSource:
+    """HBM-resident label gather (replaces DoGPULabelExtract)."""
+
+    def __init__(self, label: np.ndarray, device=None):
+        lab = np.asarray(label)
+        if lab.dtype == np.int64:
+            lab = lab.astype(np.int32)
+        lab = np.where(lab < 0, 0, lab)
+        self.label = jax.device_put(jnp.asarray(lab), device)
+
+    def extract(self, output_nodes, num_output):
+        return _gather_rows(self.label[:, None], output_nodes, num_output)[:, 0]
