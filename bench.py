@@ -92,8 +92,10 @@ def main():
         batch = engine.sampler.sample(
             jnp.asarray(seeds), n, jax.random.fold_in(jax.random.key(9), i)
         )
-        edge_counts.append(sum(int(jnp.sum(b.mask)) for b in batch.blocks))
-    edges_per_step = float(np.mean(edge_counts))
+        edge_counts.append(
+            sum(jnp.sum(b.mask, dtype=jnp.int32) for b in batch.blocks)
+        )
+    edges_per_step = float(np.mean(np.asarray(jnp.stack(edge_counts))))
     steps = shuffler.num_local_step
     epoch_time = float(np.mean(epoch_times))
     edges_per_sec = edges_per_step * steps / epoch_time

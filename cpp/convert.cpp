@@ -1,0 +1,144 @@
+// xgnn-convert — dataset preparation toolkit (C++ CLI).
+//
+// Native analog of the reference's datagen/utility tooling:
+//  - COO edge list → CSR in the framework's binary layout
+//    (datagen/*_csr_generator, utility/data-process/dataset/*)
+//  - cache ranking generation: cache_by_degree / cache_by_random
+//    (utility/data-process/toolkit/cache/cache_by_{degree,random}.cc)
+//  - degree files (in_degrees.bin / out_degrees.bin)
+//
+// Subcommands:
+//   xgnn-convert coo2csr  <edges.bin(u32 pairs)> <out_dir> <num_node>
+//   xgnn-convert degrees  <dataset_dir>
+//   xgnn-convert cache-by-degree <dataset_dir>
+//   xgnn-convert cache-by-random <dataset_dir> [seed]
+//
+// All outputs follow the byte layout in xgnn_tpu/constants.py (identical to
+// the reference's: uint32 CSR, meta.txt KEY VALUE).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <numeric>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace {
+
+std::vector<uint32_t> read_u32(const std::string &path) {
+  std::ifstream f(path, std::ios::binary | std::ios::ate);
+  if (!f) {
+    fprintf(stderr, "cannot open %s\n", path.c_str());
+    exit(1);
+  }
+  size_t bytes = f.tellg();
+  f.seekg(0);
+  std::vector<uint32_t> v(bytes / sizeof(uint32_t));
+  f.read(reinterpret_cast<char *>(v.data()), bytes);
+  return v;
+}
+
+void write_u32(const std::string &path, const std::vector<uint32_t> &v) {
+  std::ofstream f(path, std::ios::binary);
+  f.write(reinterpret_cast<const char *>(v.data()),
+          v.size() * sizeof(uint32_t));
+}
+
+long read_meta_num_node(const std::string &dir) {
+  std::ifstream f(dir + "/meta.txt");
+  std::string k;
+  long v;
+  while (f >> k >> v) {
+    if (k == "NUM_NODE") return v;
+  }
+  fprintf(stderr, "NUM_NODE not in %s/meta.txt\n", dir.c_str());
+  exit(1);
+}
+
+int cmd_coo2csr(const std::string &edges_path, const std::string &out_dir,
+                uint32_t num_node) {
+  std::vector<uint32_t> coo = read_u32(edges_path);
+  size_t num_edge = coo.size() / 2;
+  // counting sort by src → indptr
+  std::vector<uint32_t> indptr(num_node + 1, 0);
+  for (size_t e = 0; e < num_edge; ++e) indptr[coo[2 * e] + 1]++;
+  for (uint32_t v = 0; v < num_node; ++v) indptr[v + 1] += indptr[v];
+  std::vector<uint32_t> indices(num_edge);
+  std::vector<uint32_t> cursor(indptr.begin(), indptr.end() - 1);
+  for (size_t e = 0; e < num_edge; ++e)
+    indices[cursor[coo[2 * e]]++] = coo[2 * e + 1];
+  // sort each adjacency row (canonical form, enables binary search)
+  for (uint32_t v = 0; v < num_node; ++v)
+    std::sort(indices.begin() + indptr[v], indices.begin() + indptr[v + 1]);
+  write_u32(out_dir + "/indptr.bin", indptr);
+  write_u32(out_dir + "/indices.bin", indices);
+  std::ofstream meta(out_dir + "/meta.txt");
+  meta << "NUM_NODE " << num_node << "\nNUM_EDGE " << num_edge << "\n";
+  printf("coo2csr: %u nodes %zu edges\n", num_node, num_edge);
+  return 0;
+}
+
+int cmd_degrees(const std::string &dir) {
+  long n = read_meta_num_node(dir);
+  std::vector<uint32_t> indptr = read_u32(dir + "/indptr.bin");
+  std::vector<uint32_t> indices = read_u32(dir + "/indices.bin");
+  std::vector<uint32_t> out_deg(n), in_deg(n, 0);
+  for (long v = 0; v < n; ++v) out_deg[v] = indptr[v + 1] - indptr[v];
+  for (uint32_t u : indices) in_deg[u]++;
+  write_u32(dir + "/out_degrees.bin", out_deg);
+  write_u32(dir + "/in_degrees.bin", in_deg);
+  printf("degrees: wrote in/out degree files for %ld nodes\n", n);
+  return 0;
+}
+
+int cmd_cache_by_degree(const std::string &dir) {
+  long n = read_meta_num_node(dir);
+  std::vector<uint32_t> indptr = read_u32(dir + "/indptr.bin");
+  std::vector<uint32_t> rank(n);
+  std::iota(rank.begin(), rank.end(), 0);
+  // shuffle before the stable sort → random tie-break, matching the
+  // reference's partition-cache ranking treatment
+  std::mt19937 rng(0);
+  std::shuffle(rank.begin(), rank.end(), rng);
+  std::stable_sort(rank.begin(), rank.end(),
+                   [&](uint32_t a, uint32_t b) {
+                     return indptr[a + 1] - indptr[a] > indptr[b + 1] - indptr[b];
+                   });
+  write_u32(dir + "/cache_by_degree.bin", rank);
+  printf("cache_by_degree: wrote ranking of %ld nodes\n", n);
+  return 0;
+}
+
+int cmd_cache_by_random(const std::string &dir, unsigned seed) {
+  long n = read_meta_num_node(dir);
+  std::vector<uint32_t> rank(n);
+  std::iota(rank.begin(), rank.end(), 0);
+  std::mt19937 rng(seed);
+  std::shuffle(rank.begin(), rank.end(), rng);
+  write_u32(dir + "/cache_by_random.bin", rank);
+  printf("cache_by_random: wrote ranking of %ld nodes\n", n);
+  return 0;
+}
+
+}  // namespace
+
+int main(int argc, char **argv) {
+  if (argc < 3) {
+    fprintf(stderr,
+            "usage: xgnn-convert <coo2csr|degrees|cache-by-degree|"
+            "cache-by-random> args...\n");
+    return 1;
+  }
+  std::string cmd = argv[1];
+  if (cmd == "coo2csr" && argc == 5)
+    return cmd_coo2csr(argv[2], argv[3], static_cast<uint32_t>(atol(argv[4])));
+  if (cmd == "degrees") return cmd_degrees(argv[2]);
+  if (cmd == "cache-by-degree") return cmd_cache_by_degree(argv[2]);
+  if (cmd == "cache-by-random")
+    return cmd_cache_by_random(argv[2], argc > 3 ? atoi(argv[3]) : 0);
+  fprintf(stderr, "bad subcommand/args\n");
+  return 1;
+}

@@ -1,0 +1,51 @@
+"""Disaggregated (arch5) role split: sampler chips feed a trainer chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xgnn_tpu import RunConfig
+from xgnn_tpu.constants import EMPTY_KEY
+from xgnn_tpu.models import build_model
+from xgnn_tpu.parallel.disaggregated import DisaggregatedSampler
+from xgnn_tpu.store.feature_store import HBMFeatureSource, LabelSource
+from xgnn_tpu.train import init_state, make_train_step
+
+
+def test_sampler_trainer_split(small_ds):
+    devs = jax.devices()
+    assert len(devs) >= 3
+    sample_devs, train_dev = devs[:2], devs[2]
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", lr=0.01, root_path="/tmp",
+    )
+    svc = DisaggregatedSampler(small_ds, config, sample_devs)
+    feat_src = HBMFeatureSource(small_ds.feat, train_dev)
+    lab_src = LabelSource(small_ds.label, train_dev)
+    model = build_model(config, small_ds.feat_dim, small_ds.num_class)
+
+    seeds = np.full(svc.capacities[0], EMPTY_KEY, np.int32)
+    seeds[:64] = small_ds.train_set[:64]
+    b0 = svc.sample_to(seeds, 64, jax.random.key(0), train_dev)
+    # batch landed on the trainer device
+    assert b0.input_nodes.devices() == {train_dev}
+
+    x, _ = feat_src.extract(b0.input_nodes, b0.num_input)
+    labels = lab_src.extract(b0.output_nodes, b0.num_output)
+    state = init_state(model, config, b0.blocks, x, jax.random.key(1))
+    step = make_train_step(model, config, donate=False)
+
+    losses = []
+    for i in range(4):  # round-robins across both sampler chips
+        b = svc.sample_to(seeds, 64, jax.random.fold_in(jax.random.key(2), i),
+                          train_dev)
+        x, _ = feat_src.extract(b.input_nodes, b.num_input)
+        labels = lab_src.extract(b.output_nodes, b.num_output)
+        state, metrics = step(state, b.blocks, x, labels, b.num_output,
+                              jax.random.key(3))
+        losses.append(metrics["loss"])
+    losses = np.asarray(jnp.stack(losses))
+    assert np.all(np.isfinite(losses))
+    assert int(state.step) == 4

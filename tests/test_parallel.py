@@ -145,3 +145,106 @@ def test_collocated_train_step(mesh, small_ds):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert int(state.step) == 3
+
+
+def test_partitioned_topology_sampling(mesh, small_ds):
+    """use_dist_graph path: every sampled neighbor must be a true neighbor."""
+    from xgnn_tpu.parallel.dist_topology import (
+        partition_csr_host,
+        sample_layer_partitioned,
+    )
+    from xgnn_tpu.config import SampleType
+
+    li, lx = partition_csr_host(small_ds.indptr, small_ds.indices, NUM_DEV)
+    li_s, lx_s = put_sharded(li, mesh), put_sharded(lx, mesh)
+
+    cap, K = 128, 6
+    rng = np.random.default_rng(1)
+    fr = rng.integers(0, small_ds.num_node, (NUM_DEV, cap)).astype(np.int32)
+    fr[:, -5:] = EMPTY_KEY
+    keys = jax.random.split(jax.random.key(3), NUM_DEV)
+
+    def fn(li, lx, f, k):
+        neigh, over = sample_layer_partitioned(
+            li.reshape(-1), lx.reshape(-1), f.reshape(-1), K,
+            k.reshape(()), "data", seg_cap=64,
+            sample_type=SampleType.KHOP3,
+        )
+        return neigh[None], over[None]
+
+    neigh, over = jax.jit(
+        shard_map(fn, mesh=mesh,
+                  in_specs=(PS("data"), PS("data"), PS("data"), PS("data")),
+                  out_specs=(PS("data"), PS("data")))
+    )(li_s, lx_s, put_sharded(fr, mesh), put_sharded(keys, mesh))
+    neigh = np.asarray(neigh)
+    assert not np.any(np.asarray(over))
+    checked = 0
+    for d in range(NUM_DEV):
+        for i in range(cap):
+            v = fr[d, i]
+            got = neigh[d, i][neigh[d, i] != EMPTY_KEY]
+            if v == EMPTY_KEY:
+                assert len(got) == 0
+                continue
+            ns = set(
+                small_ds.indices[
+                    small_ds.indptr[v] : small_ds.indptr[v + 1]
+                ].tolist()
+            )
+            if ns:
+                assert set(got.tolist()) <= ns
+                checked += 1
+            else:
+                assert len(got) == 0
+            # khop3: dedup within row
+            assert len(set(got.tolist())) == len(got)
+    assert checked > 500
+
+
+def test_collocated_dist_graph_step(mesh, small_ds):
+    """Full GGMS config: partitioned topology + partitioned features."""
+    from xgnn_tpu.parallel.dist_topology import partition_csr_host
+
+    config = RunConfig(
+        batch_size=32, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", cache_percentage=0.0,
+        lr=0.01, root_path="/tmp", use_dist_graph=True, part_cache=True,
+    )
+    graph = Graph.from_dataset(small_ds)
+    caps = default_capacities(32, config.fanout, small_ds.num_node)
+    model = build_model(config, small_ds.feat_dim, small_ds.num_class)
+
+    sampler = Sampler(graph, config, caps)
+    seeds0 = np.full(caps[0], EMPTY_KEY, np.int32)
+    seeds0[:32] = small_ds.train_set[:32]
+    b0 = sampler.sample(jnp.asarray(seeds0), 32, jax.random.key(0))
+    x0 = jnp.zeros((caps[-1], small_ds.feat_dim), jnp.float32)
+    state = put_replicated(
+        init_state(model, config, b0.blocks, x0, jax.random.key(1)), mesh
+    )
+
+    step_fn = make_collocated_train_step(
+        model, config, mesh, caps, seg_cap=max(caps[-1], 64),
+        use_dist_graph=True,
+    )
+    li, lx = partition_csr_host(small_ds.indptr, small_ds.indices, NUM_DEV)
+    topo = (put_sharded(li, mesh), put_sharded(lx, mesh))
+    feat_parts = put_sharded(shard_interleaved(small_ds.feat, NUM_DEV), mesh)
+    lab_parts = put_sharded(
+        shard_interleaved(small_ds.label.astype(np.int32), NUM_DEV), mesh
+    )
+    rng = np.random.default_rng(5)
+    seeds = np.full((NUM_DEV, caps[0]), EMPTY_KEY, np.int32)
+    for d in range(NUM_DEV):
+        seeds[d, :32] = rng.choice(small_ds.train_set, 32, replace=False)
+    state, metrics = step_fn(
+        state, topo, feat_parts, lab_parts,
+        put_sharded(seeds, mesh),
+        put_sharded(np.full((NUM_DEV,), 32, np.int32), mesh),
+        put_sharded(jax.random.split(jax.random.key(7), NUM_DEV), mesh),
+        put_sharded(jax.random.split(jax.random.key(8), NUM_DEV), mesh),
+    )
+    assert not bool(metrics["exchange_overflow"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

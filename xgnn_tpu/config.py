@@ -135,6 +135,10 @@ class RunConfig:
     # dedup (bias is O(K/d), negligible for d >> K).
     khop0_exact_max_rounds: int = 4
 
+    # --- checkpointing (improvement over reference — SURVEY §5.4) ----------
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1  # epochs
+
     # --- misc --------------------------------------------------------------
     seed: int = 42
     barriered_epoch: int = 0

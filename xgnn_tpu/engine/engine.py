@@ -31,6 +31,7 @@ from ..models import build_model
 from ..sampler import Sampler, default_capacities
 from ..store import build_ranking, presample_ranking
 from ..store.feature_store import (
+    DynamicTieredFeatureSource,
     HBMFeatureSource,
     LabelSource,
     TieredFeatureSource,
@@ -164,13 +165,20 @@ class Engine:
             )
             self.profiler.log_init("presample_time", time.perf_counter() - t0)
         ranking = build_ranking(self.ds, cfg, access_freq)
-        self.feature_source = TieredFeatureSource(
+        cls = (
+            DynamicTieredFeatureSource
+            if cfg.cache_policy == CachePolicy.DYNAMIC
+            else TieredFeatureSource
+        )
+        self.feature_source = cls(
             self.ds.feat,
             ranking,
             cfg.cache_percentage,
             self.device,
             self.feat_dtype,
         )
+        if cfg.cache_policy == CachePolicy.DYNAMIC:
+            self._dyn_freq = jnp.zeros((self.graph.num_node,), jnp.int32)
 
     def _feat_fits_hbm(self) -> bool:
         # default to HBM when no cache percentage was requested
@@ -183,9 +191,27 @@ class Engine:
         (seeds, num_valid), key = item
         t0 = time.perf_counter()
         batch = self.sampler.sample(jnp.asarray(seeds), num_valid, key)
-        if bool(batch.overflow):
-            self.sampler = self.sampler.grow()
-            batch = self.sampler.sample(jnp.asarray(seeds), num_valid, key)
+        # NOTE: no host sync on batch.overflow here — the train step skips
+        # the update on device when overflowed, and the epoch loop checks the
+        # flags once per epoch (device->host syncs cost seconds through the
+        # TPU tunnel of this environment).
+        if self.config.sanity_check:
+            from ..ops import sanity
+
+            flags = int(sanity.check_batch(batch))
+            if flags:
+                raise RuntimeError(
+                    f"sanity check failed: {sanity.explain(flags)}"
+                )
+        if self.profiler._log_node_access:
+            ids = np.asarray(batch.input_nodes)[: int(batch.num_input)]
+            self.profiler.log_node_access(ids)
+        if getattr(self, "_dyn_freq", None) is not None:
+            from ..store.presample import _accumulate
+
+            self._dyn_freq = _accumulate(
+                self._dyn_freq, batch.input_nodes, batch.num_input
+            )
         t1 = time.perf_counter()
         x, info = self.feature_source.extract(batch.input_nodes, batch.num_input)
         labels = self.label_source.extract(batch.output_nodes, batch.num_output)
@@ -212,14 +238,15 @@ class Engine:
             else map(produce, work())
         )
 
-        losses, accs = [], []
+        losses, accs, overflows, num_inputs = [], [], [], []
         t_epoch = time.perf_counter()
         drop_base = jax.random.fold_in(self._dropout_key, epoch)
         for step, (batch, x, labels, info, (t_sample, t_extract)) in enumerate(stream):
             k_drop = jax.random.fold_in(drop_base, step)
             t0 = time.perf_counter()
             self.state, metrics = self._train_step(
-                self.state, batch.blocks, x, labels, batch.num_output, k_drop
+                self.state, batch.blocks, x, labels, batch.num_output, k_drop,
+                batch.overflow,
             )
             if not cfg.pipeline:
                 jax.block_until_ready(metrics["loss"])
@@ -229,13 +256,49 @@ class Engine:
             prof.log_step(epoch, step, P.L1_TRAIN_TIME, t_train)
             prof.log_step(epoch, step, P.L2_CACHE_HIT_RATE, info["hit_rate"])
             prof.log_step(epoch, step, P.L1_MISS_BYTES, info["miss_bytes"])
-            prof.log_step(epoch, step, P.L1_NUM_NODE, float(int(batch.num_input)))
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
-        loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
-        acc = float(np.mean([float(a) for a in accs])) if accs else float("nan")
+            overflows.append(batch.overflow)
+            num_inputs.append(batch.num_input)
+        # ONE device->host pull for the whole epoch's metrics
+        if losses:
+            stats = np.asarray(
+                jnp.stack(
+                    [
+                        jnp.stack(losses),
+                        jnp.stack(accs),
+                        jnp.stack(overflows).astype(jnp.float32),
+                        jnp.stack(num_inputs).astype(jnp.float32),
+                    ]
+                )
+            )
+            loss_v, acc_v, over_v, nin_v = stats
+            for step in range(len(losses)):
+                prof.log_step(epoch, step, P.L1_NUM_NODE, float(nin_v[step]))
+            n_over = int(over_v.sum())
+            if n_over:
+                # overflowed steps were skipped on device; grow for next epoch
+                print(
+                    f"warning: {n_over} batches overflowed capacity in epoch "
+                    f"{epoch}; growing sampler capacities"
+                )
+                prof.log_step(epoch, 0, P.L3_OVERFLOW_RETRY, float(n_over))
+                self.sampler = self.sampler.grow()
+            loss = float(np.nanmean(loss_v))
+            acc = float(np.nanmean(np.where(np.isnan(loss_v), np.nan, acc_v)))
+        else:
+            loss = acc = float("nan")
         dt = time.perf_counter() - t_epoch
         prof.log_epoch_add(epoch, "epoch_time", dt)
+        if getattr(self, "_dyn_freq", None) is not None:
+            # dynamic cache refresh (arch4 analog): hottest nodes by the
+            # running access frequency; one small D2H per epoch
+            k = self.feature_source.num_cache
+            if k > 0:
+                top = np.asarray(
+                    jax.lax.top_k(self._dyn_freq, k)[1].astype(jnp.int32)
+                )
+                self.feature_source.refresh(top)
         return {"epoch": epoch, "loss": loss, "train_acc": acc, "time": dt}
 
     def evaluate(self, split: str = "valid", max_batches: Optional[int] = None) -> float:
@@ -252,19 +315,35 @@ class Engine:
             acc = self._eval_step(
                 self.state.params, batch.blocks, x, labels, batch.num_output
             )
-            accs.append(float(acc))
+            accs.append(acc)
             weights.append(n)
+        accs = np.asarray(jnp.stack(accs))  # single device->host pull
         return float(np.average(accs, weights=weights))
 
     # ------------------------------------------------------------------- run
     def run(self) -> dict:
         self.init()
+        ckpt = None
+        start_epoch = 0
+        if self.config.checkpoint_dir:
+            from ..checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(self.config.checkpoint_dir)
+            state, extra = ckpt.restore(self.state)
+            if state is not None:
+                self.state = state
+                start_epoch = (extra or {}).get("epoch", -1) + 1
+                print(f"resumed from checkpoint at epoch {start_epoch}")
         results = []
-        for epoch in range(self.config.num_epoch):
+        for epoch in range(start_epoch, self.config.num_epoch):
             r = self.train_epoch(epoch)
             results.append(r)
             if self.config.report_acc and epoch % max(self.config.report_acc, 1) == 0:
                 r["valid_acc"] = self.evaluate("valid")
+            if ckpt and (epoch + 1) % self.config.checkpoint_every == 0:
+                ckpt.save(epoch, self.state, extra={"epoch": epoch})
+        if ckpt:
+            ckpt.close()
         out = self.profiler.test_results(
             extra={"final_train_acc": results[-1]["train_acc"] if results else 0.0}
         )

@@ -41,21 +41,26 @@ def make_collocated_train_step(
     capacities,
     seg_cap: int,
     axis_name: str = DATA_AXIS,
+    use_dist_graph: bool = False,
 ):
     """Build the full SPMD train step.
 
     Signature of the returned jitted fn::
 
-        (state, graph, feat_parts, label_parts, seeds, num_seeds, keys)
+        (state, topo, feat_parts, label_parts, seeds, num_seeds, keys, dkeys)
             -> (state, metrics)
 
     - ``state``: replicated TrainState.
-    - ``graph``: replicated Graph (topology).
+    - ``topo``: replicated Graph (topology), or — with ``use_dist_graph`` —
+      the pair ``(local_indptrs, local_indices)`` from
+      ``dist_topology.partition_csr_host`` sharded over ``axis_name``
+      (the ``--use-dist-graph`` GGMS topology partition).
     - ``feat_parts``: (P, rows, F) interleave-partitioned features
-      (from ``exchange.shard_interleaved``), sharded over ``axis_name``.
+      (from ``exchange.shard_interleaved``), sharded over ``axis_name``
+      (the ``--part-cache`` analog).
     - ``label_parts``: (P, rows) interleave-partitioned labels.
     - ``seeds``: (P, batch_cap) per-chip seed shards; ``num_seeds``: (P,);
-      ``keys``: (P,) per-chip RNG keys (uint32 pairs).
+      ``keys``/``dkeys``: (P,) per-chip RNG keys.
     """
     tx = make_optimizer(config)
     fanouts = tuple(config.fanout)
@@ -66,21 +71,38 @@ def make_collocated_train_step(
         config.random_walk_restart_prob,
     )
 
-    def per_chip(state, graph, feat_part, label_part, seeds, num_seed, key, drop_key):
+    def per_chip(state, topo, feat_part, label_part, seeds, num_seed, key, drop_key):
         seeds = seeds.reshape(-1)
         num_seed = num_seed.reshape(())
         key = key.reshape(())
         drop_key = drop_key.reshape(())
-        batch = _sample_minibatch(
-            graph,
-            seeds,
-            num_seed,
-            key,
-            sample_type=config.sample_type,
-            fanouts=fanouts,
-            capacities=caps,
-            rw_params=rw,
-        )
+        if use_dist_graph:
+            from .dist_topology import sample_minibatch_partitioned
+
+            local_iptr, local_idx = topo
+            batch = sample_minibatch_partitioned(
+                local_iptr.reshape(local_iptr.shape[-1]),
+                local_idx.reshape(local_idx.shape[-1]),
+                seeds,
+                num_seed,
+                key,
+                axis_name=axis_name,
+                seg_cap=seg_cap,
+                sample_type=config.sample_type,
+                fanouts=fanouts,
+                capacities=caps,
+            )
+        else:
+            batch = _sample_minibatch(
+                topo,
+                seeds,
+                num_seed,
+                key,
+                sample_type=config.sample_type,
+                fanouts=fanouts,
+                capacities=caps,
+                rw_params=rw,
+            )
         feat_local = feat_part.reshape(feat_part.shape[-2], feat_part.shape[-1])
         x, overflow = partitioned_gather(
             feat_local, batch.input_nodes, axis_name, seg_cap
@@ -123,7 +145,7 @@ def make_collocated_train_step(
         mesh=mesh,
         in_specs=(
             PS(),  # state (replicated)
-            PS(),  # graph (replicated)
+            PS(axis_name) if use_dist_graph else PS(),  # topology
             PS(axis_name),  # feat parts
             PS(axis_name),  # label parts
             PS(axis_name),  # seeds

@@ -83,7 +83,11 @@ class TieredFeatureSource(FeatureSource):
         host_gather=None,
     ):
         num_node, self.feat_dim = feat_host.shape
-        self.feat_host = feat_host
+        # host tier must be host-resident (one-time pull if device array)
+        self.feat_host = (
+            feat_host if isinstance(feat_host, np.ndarray) else np.asarray(feat_host)
+        )
+        feat_host = self.feat_host
         self.num_cache = int(num_node * cache_percentage)
         cache_ids = np.asarray(ranking[: self.num_cache], dtype=np.int64)
         posmap = np.full(num_node, EMPTY, np.int32)
@@ -97,10 +101,15 @@ class TieredFeatureSource(FeatureSource):
         self.cache_feat = jax.device_put(jnp.asarray(cache_rows, dtype=dtype), device)
         self.device = device
         self.dtype = dtype or self.cache_feat.dtype
-        # host-side gather kernel (OMP C++ when available; numpy fallback)
-        self._host_gather = host_gather or (
-            lambda ids: np.asarray(self.feat_host[ids])
-        )
+        # host-side gather kernel: OMP C++ (cpp/libxgnnhost.so) when built,
+        # numpy fallback — the CPUExtract analog (cpu_extraction.cc)
+        if host_gather is None:
+            from .. import clib
+
+            host_gather = lambda ids, out: clib.gather_rows(
+                self.feat_host, ids, out
+            )
+        self._host_gather = host_gather
 
     @functools.partial(jax.jit, static_argnums=0)
     def _split(self, input_nodes, num_input):
@@ -143,29 +152,58 @@ class TieredFeatureSource(FeatureSource):
         nm = int(num_miss)  # host sync point — pipelining hides it
         # bucket ≥ nm always holds: nm ≤ cap and _bucket(nm) ≥ nm
         bucket = min(_bucket(max(nm, 1)), input_nodes.shape[0])
-        ids_host = np.asarray(miss_ids[:bucket])[:nm].astype(np.int64)
-        rows = self._host_gather(ids_host)
-        padded = np.zeros((bucket, self.feat_dim), rows.dtype)
-        padded[:nm] = rows
+        ids_host = np.full(bucket, -1, np.int64)
+        ids_host[:nm] = np.asarray(miss_ids[:bucket])[:nm]
+        padded = self._host_gather(ids_host, None)
         miss_rows = jax.device_put(jnp.asarray(padded), self.device)
         out = self._combine(cached, miss_rows, miss_pos, num_miss)
         nh = int(num_hit)
         total = max(nm + nh, 1)
         return out, {
             "hit_rate": nh / total,
-            "miss_bytes": nm * self.feat_dim * rows.dtype.itemsize,
+            "miss_bytes": nm * self.feat_dim * padded.dtype.itemsize,
         }
+
+
+class DynamicTieredFeatureSource(TieredFeatureSource):
+    """Refreshable cache (reference ``GPUDynamicCacheManager`` / arch4,
+    ``cuda/cuda_cache_manager.h:98-149``): ``refresh(ranking)`` swaps the
+    cached row set to the currently-hottest nodes.  The engine accumulates
+    access frequency on device and refreshes at epoch boundaries (the
+    reference refreshes on a step interval using prefetched batches; epoch
+    granularity avoids mid-epoch device→host syncs)."""
+
+    def refresh(self, ranking: np.ndarray):
+        num_node = self.posmap.shape[0]
+        cache_ids = np.asarray(ranking[: self.num_cache], dtype=np.int64)
+        posmap = np.full(num_node, EMPTY, np.int32)
+        posmap[cache_ids] = np.arange(len(cache_ids), dtype=np.int32)
+        self.posmap = jax.device_put(jnp.asarray(posmap), self.device)
+        if len(cache_ids):
+            from .. import clib
+
+            rows = clib.gather_rows(self.feat_host, cache_ids)
+            self.cache_feat = jax.device_put(
+                jnp.asarray(rows, dtype=self.dtype), self.device
+            )
+        # the jitted _split closure reads self.posmap/cache_feat via static
+        # self — drop the cached trace so the new tables are picked up
+        self._split.clear_cache()
 
 
 class LabelSource:
     """HBM-resident label gather (replaces DoGPULabelExtract)."""
 
-    def __init__(self, label: np.ndarray, device=None):
-        lab = np.asarray(label)
-        if lab.dtype == np.int64:
-            lab = lab.astype(np.int32)
-        lab = np.where(lab < 0, 0, lab)
-        self.label = jax.device_put(jnp.asarray(lab), device)
+    def __init__(self, label, device=None):
+        if isinstance(label, jax.Array):
+            # already device-resident — keep it there (D2H is expensive)
+            self.label = jnp.maximum(label.astype(jnp.int32), 0)
+        else:
+            lab = np.asarray(label)
+            if lab.dtype == np.int64:
+                lab = lab.astype(np.int32)
+            lab = np.where(lab < 0, 0, lab)
+            self.label = jax.device_put(jnp.asarray(lab), device)
 
     def extract(self, output_nodes, num_output):
         return _gather_rows(self.label[:, None], output_nodes, num_output)[:, 0]

@@ -32,7 +32,7 @@ class DeviceDataset:
     num_class: int
     graph: Graph
     feat: jax.Array  # (num_node, feat_dim) device
-    label: np.ndarray  # (num_node,) host int32
+    label: jax.Array  # (num_node,) device int32
     train_set: np.ndarray
     valid_set: np.ndarray
     test_set: np.ndarray
@@ -126,12 +126,13 @@ def make_device_dataset(
     indices = indices[:e]
 
     feat = jax.random.normal(k_f, (num_node, feat_dim), jnp.float32)
-    label = np.asarray(
-        jax.random.randint(k_l, (num_node,), 0, num_class, jnp.int32)
-    )
-    perm = np.asarray(jax.random.permutation(k_p, num_node))
+    # label stays on device (D2H of N-sized arrays is expensive through the
+    # tunnel); only the small node sets are pulled to host
+    label = jax.random.randint(k_l, (num_node,), 0, num_class, jnp.int32)
+    perm_dev = jax.random.permutation(k_p, num_node)
     n_train = max(1, int(num_node * train_frac))
     n_val = max(1, int(num_node * 0.02))
+    perm = np.asarray(perm_dev[: n_train + 2 * n_val])
     graph = Graph(indptr=indptr, indices=indices)
     return DeviceDataset(
         name=name,

@@ -61,7 +61,10 @@ def make_train_step(model, config, donate: bool = True, axis_name: Optional[str]
     """
     tx = make_optimizer(config)
 
-    def step(state: TrainState, blocks, x, labels, num_valid, rng):
+    def step(state: TrainState, blocks, x, labels, num_valid, rng, skip=None):
+        """``skip`` (bool scalar, e.g. capacity overflow): the whole update
+        becomes a no-op on device — avoids a per-step host sync to decide."""
+
         def compute_loss(params):
             logits = model.apply(
                 {"params": params}, blocks, x, True, rngs={"dropout": rng}
@@ -77,6 +80,13 @@ def make_train_step(model, config, donate: bool = True, axis_name: Optional[str]
             acc = jax.lax.pmean(acc, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if skip is not None:
+            keep = lambda old, new: jax.tree.map(
+                lambda a, b: jnp.where(skip, a, b), old, new
+            )
+            params = keep(state.params, params)
+            opt_state = keep(state.opt_state, opt_state)
+            loss = jnp.where(skip, jnp.nan, loss)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {"loss": loss, "acc": acc}
 
