@@ -46,7 +46,7 @@ def main():
     t0 = time.time()
     ds = make_device_dataset(
         NUM_NODE, NUM_EDGE, FEAT_DIM, NUM_CLASS,
-        train_frac=TRAIN_FRAC, seed=0, name="products_synth",
+        train_frac=TRAIN_FRAC, seed=0, name="products_synth", dedup=False,
     )
     print(f"# generated on-device: {ds.num_node} nodes {ds.num_edge} edges "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)

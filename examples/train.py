@@ -43,9 +43,16 @@ def parse_args():
                             "presample_static", "fake_optimal", "random"])
     p.add_argument("--cache-percentage", type=float, default=0.0)
     p.add_argument("--presample-epoch", type=int, default=1)
+    p.add_argument("--num-worker", type=int, default=1,
+                   help="data-parallel chips (arch6 mode when > 1)")
+    p.add_argument("--use-dist-graph", action="store_true", default=False,
+                   help="partition the topology across chips (GGMS)")
+    p.add_argument("--part-cache", action="store_true", default=False)
     p.add_argument("--pipeline", action="store_true", default=False)
     p.add_argument("--no-pipeline", dest="pipeline", action="store_false")
     p.add_argument("--report-acc", type=int, default=0)
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--validate-configs", action="store_true",
                    help="exit after printing the resolved config")
     p.add_argument("--seed", type=int, default=42)
@@ -76,11 +83,17 @@ def main():
         num_hidden=args.num_hidden,
         lr=args.lr,
         dropout=args.dropout,
+        num_worker=args.num_worker,
+        use_dist_graph=args.use_dist_graph,
+        part_cache=args.part_cache,
+        arch="collocated" if args.num_worker > 1 else "single",
         cache_policy=args.cache_policy,
         cache_percentage=args.cache_percentage,
         presample_epoch=args.presample_epoch,
         pipeline=args.pipeline,
         report_acc=args.report_acc,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
         seed=args.seed,
     )
     config.print_run_config()
@@ -105,11 +118,17 @@ def main():
 
         ds = load_dataset(config.dataset_path)
 
-    engine = Engine(ds, config)
-    out = engine.run()
-    if args.report_acc:
-        acc = engine.evaluate("test")
-        print(f"test_result:test_acc={acc:.4f}")
+    if config.num_worker > 1:
+        from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+        engine = MultiChipEngine(ds, config)
+        engine.run()
+    else:
+        engine = Engine(ds, config)
+        engine.run()
+        if args.report_acc:
+            acc = engine.evaluate("test")
+            print(f"test_result:test_acc={acc:.4f}")
 
 
 if __name__ == "__main__":

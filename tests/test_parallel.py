@@ -248,3 +248,20 @@ def test_collocated_dist_graph_step(mesh, small_ds):
     assert not bool(metrics["exchange_overflow"])
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_multi_chip_engine(small_ds):
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    for use_dist in (False, True):
+        config = RunConfig(
+            batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+            model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+            use_dist_graph=use_dist, part_cache=True, num_epoch=2,
+            lr=0.01, root_path="/tmp",
+        )
+        eng = MultiChipEngine(small_ds, config).init()
+        r0 = eng.train_epoch(0)
+        r1 = eng.train_epoch(1)
+        assert np.isfinite(r0["loss"]) and np.isfinite(r1["loss"])
+        assert r0["steps"] >= 1

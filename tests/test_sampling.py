@@ -157,3 +157,22 @@ def test_random_walk_topk(g):
         wrow = weights[i][neigh[i] != EMPTY_KEY]
         assert np.all(wrow > 0)
         assert np.all(np.diff(weights[i]) <= 1e-6)
+
+
+def test_pallas_gather_interpret():
+    """Pallas gather kernel correctness (interpreter mode on CPU)."""
+    from xgnn_tpu.ops.pallas_gather import gather_rows_pallas
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((200, 128)).astype(np.float32))
+    ids = rng.integers(0, 200, 64).astype(np.int32)
+    ids[5] = EMPTY_KEY
+    out = np.asarray(
+        gather_rows_pallas(feat, jnp.asarray(ids), rows_per_step=16,
+                           interpret=True)
+    )
+    for i, v in enumerate(ids):
+        if v == EMPTY_KEY:
+            np.testing.assert_array_equal(out[i], 0)
+        else:
+            np.testing.assert_allclose(out[i], np.asarray(feat)[v])

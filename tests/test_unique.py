@@ -70,3 +70,39 @@ def test_overflow_detection():
     ids = jnp.arange(100, dtype=jnp.int32)
     _, num_unique, _ = unique_ordered(ids, 50)
     assert int(num_unique) == 100  # caller sees overflow: num_unique > cap
+
+
+def test_unique_seeded_matches_oracle():
+    from xgnn_tpu.ops.unique import unique_seeded
+
+    rng = np.random.default_rng(4)
+    prev_cap, n_nbr, vocab = 32, 200, 60
+    prev_valid = 20
+    prev = np.full(prev_cap, EMPTY_KEY, np.int32)
+    prev[:prev_valid] = rng.choice(vocab, prev_valid, replace=False)
+    nbrs = rng.integers(0, vocab, n_nbr).astype(np.int32)
+    nbrs[rng.random(n_nbr) < 0.2] = EMPTY_KEY
+    ids = np.concatenate([prev, nbrs])
+    cap = vocab + 8
+
+    uids, num_unique, local = jax.jit(
+        lambda x: unique_seeded(x, prev_valid, prev_cap, cap)
+    )(jnp.asarray(ids))
+    uids, num_unique, local = map(np.asarray, (uids, num_unique, local))
+
+    # prev prefix keeps its local ids
+    np.testing.assert_array_equal(uids[:prev_valid], prev[:prev_valid])
+    np.testing.assert_array_equal(local[:prev_valid], np.arange(prev_valid))
+    # set of uniques matches oracle; new nodes ascending
+    exp_set = set(ids[ids != EMPTY_KEY].tolist())
+    got = uids[uids != EMPTY_KEY]
+    assert num_unique == len(exp_set) == len(got)
+    assert set(got.tolist()) == exp_set
+    new_part = uids[prev_valid:num_unique]
+    assert np.all(np.diff(new_part) > 0)
+    # every input resolves to its id's slot
+    for i, v in enumerate(ids):
+        if v == EMPTY_KEY:
+            assert local[i] == EMPTY_KEY
+        else:
+            assert uids[local[i]] == v

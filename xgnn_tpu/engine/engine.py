@@ -188,7 +188,9 @@ class Engine:
     def _produce(self, item):
         """Sampler+extract stage (runs in the prefetch thread when
         pipelining)."""
-        (seeds, num_valid), key = item
+        (seeds, num_valid), key, (epoch, step) = item
+        if self.config.dump_trace:
+            self.profiler.trace_begin(epoch, step, "sample")
         t0 = time.perf_counter()
         batch = self.sampler.sample(jnp.asarray(seeds), num_valid, key)
         # NOTE: no host sync on batch.overflow here — the train step skips
@@ -213,9 +215,14 @@ class Engine:
                 self._dyn_freq, batch.input_nodes, batch.num_input
             )
         t1 = time.perf_counter()
+        if self.config.dump_trace:
+            self.profiler.trace_end(epoch, step, "sample")
+            self.profiler.trace_begin(epoch, step, "copy")
         x, info = self.feature_source.extract(batch.input_nodes, batch.num_input)
         labels = self.label_source.extract(batch.output_nodes, batch.num_output)
         t2 = time.perf_counter()
+        if self.config.dump_trace:
+            self.profiler.trace_end(epoch, step, "copy")
         return batch, x, labels, info, (t1 - t0, t2 - t1)
 
     def train_epoch(self, epoch: int) -> dict:
@@ -229,7 +236,7 @@ class Engine:
 
         def work():
             for step, step_item in enumerate(shuffler.epoch_batches(epoch)):
-                yield step_item, jax.random.fold_in(sample_base, step)
+                yield step_item, jax.random.fold_in(sample_base, step), (epoch, step)
 
         produce = self._produce
         stream = (
@@ -243,6 +250,8 @@ class Engine:
         drop_base = jax.random.fold_in(self._dropout_key, epoch)
         for step, (batch, x, labels, info, (t_sample, t_extract)) in enumerate(stream):
             k_drop = jax.random.fold_in(drop_base, step)
+            if cfg.dump_trace:
+                prof.trace_begin(epoch, step, "train")
             t0 = time.perf_counter()
             self.state, metrics = self._train_step(
                 self.state, batch.blocks, x, labels, batch.num_output, k_drop,
@@ -251,6 +260,8 @@ class Engine:
             if not cfg.pipeline:
                 jax.block_until_ready(metrics["loss"])
             t_train = time.perf_counter() - t0
+            if cfg.dump_trace:
+                prof.trace_end(epoch, step, "train")
             prof.log_step(epoch, step, P.L1_SAMPLE_TIME, t_sample)
             prof.log_step(epoch, step, P.L1_COPY_TIME, t_extract)
             prof.log_step(epoch, step, P.L1_TRAIN_TIME, t_train)
@@ -311,7 +322,7 @@ class Engine:
             if max_batches is not None and i >= max_batches:
                 break
             k = jax.random.fold_in(jax.random.key(123), i)
-            batch, x, labels, _, _ = self._produce(((seeds, n), k))
+            batch, x, labels, _, _ = self._produce(((seeds, n), k, (-1, i)))
             acc = self._eval_step(
                 self.state.params, batch.blocks, x, labels, batch.num_output
             )
@@ -344,6 +355,10 @@ class Engine:
                 ckpt.save(epoch, self.state, extra={"epoch": epoch})
         if ckpt:
             ckpt.close()
+        if self.config.dump_trace:
+            path = "xgnn_trace.json"
+            self.profiler.dump_trace(path)
+            print(f"trace dumped to {path}")
         out = self.profiler.test_results(
             extra={"final_train_acc": results[-1]["train_acc"] if results else 0.0}
         )

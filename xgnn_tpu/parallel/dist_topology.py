@@ -167,7 +167,9 @@ def sample_minibatch_partitioned(
         overflow = overflow | of
         ids = jnp.concatenate([frontier, nbr.reshape(-1)])
         out_cap = capacities[layer + 1]
-        uids, num_unique, local = unique.unique_ordered(ids, out_cap)
+        uids, num_unique, local = unique.unique_seeded(
+            ids, num_frontier, frontier.shape[0], out_cap
+        )
         blocks.append(
             Block(
                 neigh=local[frontier.shape[0] :].reshape(nbr.shape),

@@ -170,7 +170,9 @@ def _sample_minibatch(
         )
         ids = jnp.concatenate([frontier, nbr.reshape(-1)])
         out_cap = capacities[layer + 1]
-        uids, num_unique, local = unique.unique_ordered(ids, out_cap)
+        uids, num_unique, local = unique.unique_seeded(
+            ids, num_frontier, frontier.shape[0], out_cap
+        )
         neigh_local = local[frontier.shape[0] :].reshape(nbr.shape)
         blocks.append(
             Block(

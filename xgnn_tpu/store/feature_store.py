@@ -60,9 +60,13 @@ class FeatureSource:
 
 
 class HBMFeatureSource(FeatureSource):
-    def __init__(self, feat: np.ndarray, device=None, dtype=None):
-        arr = jnp.asarray(np.asarray(feat), dtype=dtype)
-        self.feat = jax.device_put(arr, device)
+    def __init__(self, feat, device=None, dtype=None):
+        if isinstance(feat, jax.Array):
+            # already device-resident: never round-trip through the host
+            self.feat = feat.astype(dtype) if dtype else feat
+        else:
+            arr = jnp.asarray(np.asarray(feat), dtype=dtype)
+            self.feat = jax.device_put(arr, device)
         self.feat_dim = int(self.feat.shape[1])
 
     def extract(self, input_nodes, num_input):

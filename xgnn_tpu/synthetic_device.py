@@ -71,6 +71,28 @@ def _gen_edges(num_node: int, num_edge: int, alpha: float, key):
 
 
 @partial(jax.jit, static_argnums=(2,))
+def _build_csr_fast(src, dst, num_node: int):
+    """COO → CSR without multi-edge dedup: ONE sort (by src).  Self loops
+    removed via sentinel.  Used at benchmark scale where a few percent of
+    multi-edges are statistically irrelevant and each 124M-element sort costs
+    tens of seconds."""
+    sentinel = jnp.iinfo(jnp.int32).max
+    src = jnp.where(src == dst, sentinel, src)
+    order = jnp.argsort(src)
+    s, d = src[order], dst[order]
+    valid = s != sentinel
+    num_edge = jnp.sum(valid)
+    s = jnp.where(valid, s, num_node - 1)
+    counts = jnp.zeros(num_node, jnp.int32).at[s].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    return indptr, jnp.where(valid, d, 0), num_edge
+
+
+@partial(jax.jit, static_argnums=(2,))
 def _build_csr(src, dst, num_node: int):
     """COO (with dups/self-loops) → deduplicated CSR, all on device.
 
@@ -111,6 +133,7 @@ def make_device_dataset(
     alpha: float = 0.45,
     name: str = "synthetic_device",
     symmetric: bool = True,
+    dedup: bool = True,
 ) -> DeviceDataset:
     key = jax.random.key(seed)
     k_e, k_f, k_l, k_p = jax.random.split(key, 4)
@@ -120,7 +143,8 @@ def make_device_dataset(
         d = jnp.concatenate([dst, src])
     else:
         s, d = src, dst
-    indptr, indices, num_unique = _build_csr(s, d, num_node)
+    build = _build_csr if dedup else _build_csr_fast
+    indptr, indices, num_unique = build(s, d, num_node)
     # trim the padded tail on device (one slice, static upper bound)
     e = int(num_unique)
     indices = indices[:e]
