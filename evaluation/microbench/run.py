@@ -16,14 +16,27 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def timeit(fn, *args, iters=10):
+def _sync(x):
+    """Force full completion: a 4-byte D2H pull round-trips the device.
+
+    (block_until_ready alone can return early through remote-tunnel
+    transports, producing impossibly fast timings.)"""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
+    # baseline: sync-only cost (tunnel latency), measured around zero work
+    t0 = time.perf_counter()
+    _sync(out)
+    sync_cost = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync(out)
+    return max((time.perf_counter() - t0 - sync_cost), 1e-9) / iters
 
 
 def main():
@@ -41,9 +54,24 @@ def main():
     print(f"xla_gather: {t*1e3:.2f} ms  {bytes_moved/t/1e9:.1f} GB/s")
 
     if jax.default_backend() == "tpu":
-        for r in (8, 16, 32):
-            t = timeit(lambda ft, i: gather_rows_pallas(ft, i, rows_per_step=r), feat, ids)
-            print(f"pallas_gather r={r}: {t*1e3:.2f} ms  {bytes_moved/t/1e9:.1f} GB/s")
+        for r in (16, 32):
+            try:
+                t = timeit(lambda ft, i: gather_rows_pallas(ft, i, rows_per_step=r), feat, ids)
+                print(f"pallas_gather r={r}: {t*1e3:.2f} ms  {bytes_moved/t/1e9:.1f} GB/s")
+            except Exception as e:
+                print(f"pallas_gather r={r}: FAILED {type(e).__name__}")
+
+    # sampler cost isolation: big sort, scattered 4B gather, segment ops
+    m8 = jax.random.randint(jax.random.key(7), (8_000_000,), 0, n, jnp.int32)
+    t = timeit(jax.jit(jnp.sort), m8)
+    print(f"sort 8M int32: {t*1e3:.2f} ms  {8e6/t/1e6:.0f} M/s")
+    t = timeit(jax.jit(lambda x: jnp.argsort(x)), m8)
+    print(f"argsort 8M int32: {t*1e3:.2f} ms  {8e6/t/1e6:.0f} M/s")
+
+    edge_idx = jax.random.randint(jax.random.key(8), (1_000_000, 15), 0, 100_000_000, jnp.int32)
+    big_edges = jax.random.randint(jax.random.key(9), (100_000_000,), 0, n, jnp.int32)
+    t = timeit(jax.jit(lambda e, i: e[i]), big_edges, edge_idx)
+    print(f"scattered 4B gather 15M elems: {t*1e3:.2f} ms  {15e6/t/1e6:.0f} M/s")
 
     # dedup throughput at sampler scale
     m = 8_000_000

