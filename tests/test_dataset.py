@@ -1,0 +1,85 @@
+"""Dataset binary format: save/load round trip + reference layout checks +
+the C++ convert toolkit."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from xgnn_tpu import constants as C
+from xgnn_tpu import load_dataset, save_dataset, synthetic
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_roundtrip(tmp_path, tiny_ds):
+    synthetic.build_alias_tables(tiny_ds)
+    path = str(tmp_path / "ds")
+    save_dataset(tiny_ds, path)
+
+    # reference layout: exact file names, uint32 CSR, int64 labels
+    for f in (C.META_FILE, C.INDPTR_FILE, C.INDICES_FILE, C.FEAT_FILE,
+              C.LABEL_FILE, C.TRAIN_SET_FILE, C.PROB_TABLE_FILE):
+        assert os.path.isfile(os.path.join(path, f)), f
+    raw = np.fromfile(os.path.join(path, C.INDPTR_FILE), dtype=np.uint32)
+    assert raw[-1] == tiny_ds.num_edge
+
+    ds2 = load_dataset(path)
+    assert ds2.num_node == tiny_ds.num_node
+    assert ds2.num_edge == tiny_ds.num_edge
+    np.testing.assert_array_equal(ds2.indptr, tiny_ds.indptr)
+    np.testing.assert_array_equal(ds2.indices, tiny_ds.indices)
+    np.testing.assert_allclose(ds2.feat, tiny_ds.feat)
+    np.testing.assert_array_equal(ds2.label, tiny_ds.label)
+    np.testing.assert_array_equal(ds2.train_set, tiny_ds.train_set)
+    np.testing.assert_allclose(ds2.prob_table, tiny_ds.prob_table)
+    np.testing.assert_array_equal(ds2.alias_table, tiny_ds.alias_table)
+
+
+def test_fake_feat_dim(tmp_path, tiny_ds):
+    path = str(tmp_path / "ds")
+    save_dataset(tiny_ds, path)
+    ds2 = load_dataset(path, fake_feat_dim=7)
+    assert ds2.feat.shape == (tiny_ds.num_node, 7)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REPO, "cpp", "xgnn-convert")),
+    reason="xgnn-convert not built",
+)
+def test_cpp_toolkit(tmp_path, tiny_ds):
+    path = str(tmp_path / "ds")
+    save_dataset(tiny_ds, path)
+    exe = os.path.join(REPO, "cpp", "xgnn-convert")
+
+    r = subprocess.run([exe, "degrees", path], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out_deg = np.fromfile(os.path.join(path, C.OUT_DEGREE_FILE), np.uint32)
+    np.testing.assert_array_equal(out_deg, np.diff(tiny_ds.indptr))
+
+    r = subprocess.run([exe, "cache-by-degree", path], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    rank = np.fromfile(os.path.join(path, C.CACHE_BY_DEGREE_FILE), np.uint32)
+    degs = np.diff(tiny_ds.indptr)
+    assert degs[rank[0]] == degs.max()
+    assert np.all(np.diff(degs[rank].astype(np.int64)) <= 0)
+
+    # coo2csr: rebuild the CSR from an edge list and compare
+    coo = []
+    for v in range(tiny_ds.num_node):
+        for u in tiny_ds.indices[tiny_ds.indptr[v]:tiny_ds.indptr[v+1]]:
+            coo.extend([v, int(u)])
+    edges_path = str(tmp_path / "edges.bin")
+    np.asarray(coo, np.uint32).tofile(edges_path)
+    out_dir = str(tmp_path / "conv")
+    os.makedirs(out_dir, exist_ok=True)
+    r = subprocess.run(
+        [exe, "coo2csr", edges_path, out_dir, str(tiny_ds.num_node)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    ip = np.fromfile(os.path.join(out_dir, C.INDPTR_FILE), np.uint32)
+    ix = np.fromfile(os.path.join(out_dir, C.INDICES_FILE), np.uint32)
+    np.testing.assert_array_equal(ip, tiny_ds.indptr.astype(np.uint32))
+    np.testing.assert_array_equal(ix, tiny_ds.indices.astype(np.uint32))

@@ -122,9 +122,18 @@ def unique_seeded(
         vb, fb = b
         return jnp.where(fb, vb, va), fa | fb
 
-    local_sorted, _ = jax.lax.associative_scan(
-        fill, (jnp.where(is_first, local_first, 0), is_first)
-    )
+    # pad to a power of two: keeps every recursive level of the scan evenly
+    # split (odd-size splits blow up compile time at multi-million lengths)
+    n_pow2 = 1 << (n - 1).bit_length()
+    pad = n_pow2 - n
+    v0 = jnp.where(is_first, local_first, 0)
+    if pad:
+        v0 = jnp.concatenate([v0, jnp.zeros(pad, v0.dtype)])
+        f0 = jnp.concatenate([is_first, jnp.ones(pad, jnp.bool_)])
+    else:
+        f0 = is_first
+    local_sorted, _ = jax.lax.associative_scan(fill, (v0, f0))
+    local_sorted = local_sorted[:n]
 
     # back to original order: sort by position (a permutation ⇒ exact unsort)
     _, local_ids = jax.lax.sort((spos, local_sorted), num_keys=1)

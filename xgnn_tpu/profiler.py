@@ -75,6 +75,13 @@ class Profiler:
     def node_access_frequency(self):
         return self._node_access.most_common()
 
+    def dump_node_access(self, path: str):
+        """Write per-node access frequencies, hottest first (reference
+        node-access analytics files, profiler.cc:659-795)."""
+        with open(path, "w") as f:
+            for node, count in self._node_access.most_common():
+                f.write(f"{node}\t{count}\n")
+
     # --- trace events (reference TraceItem + DumpTrace) -------------------
     def trace_begin(self, epoch: int, step: int, stage: str):
         self._trace.append((stage, epoch, step, "B", time.perf_counter_ns() // 1000))
