@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--presample-epoch", type=int, default=1)
     p.add_argument("--num-worker", type=int, default=1,
                    help="data-parallel chips (arch6 mode when > 1)")
+    p.add_argument("--num-sample-worker", type=int, default=0,
+                   help="dedicated sampler chips (arch5/FGNN mode when > 0)")
     p.add_argument("--use-dist-graph", action="store_true", default=False,
                    help="partition the topology across chips (GGMS)")
     p.add_argument("--part-cache", action="store_true", default=False)
@@ -84,9 +86,11 @@ def main():
         lr=args.lr,
         dropout=args.dropout,
         num_worker=args.num_worker,
+        num_sample_worker=max(args.num_sample_worker, 1),
+        arch=("disaggregated" if args.num_sample_worker > 0
+              else "collocated" if args.num_worker > 1 else "single"),
         use_dist_graph=args.use_dist_graph,
         part_cache=args.part_cache,
-        arch="collocated" if args.num_worker > 1 else "single",
         cache_policy=args.cache_policy,
         cache_percentage=args.cache_percentage,
         presample_epoch=args.presample_epoch,
@@ -118,7 +122,14 @@ def main():
 
         ds = load_dataset(config.dataset_path)
 
-    if config.num_worker > 1:
+    from xgnn_tpu.config import RunArch
+
+    if config.arch == RunArch.DISAGGREGATED:
+        from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+        engine = DisaggregatedEngine(ds, config)
+        engine.run()
+    elif config.num_worker > 1:
         from xgnn_tpu.engine.multi_engine import MultiChipEngine
 
         engine = MultiChipEngine(ds, config)

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..engine.shuffler import Shuffler
 
 
 @jax.jit
@@ -27,6 +26,8 @@ def _accumulate(freq, input_nodes, num_input):
 
 def presample_ranking(sampler, train_set, config, num_node: int) -> np.ndarray:
     """Run presample epochs, return per-node access counts (host array)."""
+    from ..engine.shuffler import Shuffler  # deferred: avoids circular import
+
     freq = jnp.zeros((num_node,), jnp.int32)
     shuffler = Shuffler(
         train_set, config.batch_size, seed=config.seed, num_worker=1
