@@ -1,0 +1,77 @@
+"""Two-process multi-host smoke test (CPU backend, gloo collectives).
+
+Validates the multi-controller path: global mesh over 2 processes x 2
+devices, process-local sharded array construction, and a psum through the
+collocated building blocks.  Skipped cleanly if the CPU distributed runtime
+is unavailable.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+jax.distributed.initialize("localhost:29731", num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from xgnn_tpu.parallel.multihost import global_mesh, put_sharded_global
+from jax.sharding import PartitionSpec as PS
+from jax import shard_map
+
+assert jax.process_count() == 2
+assert jax.device_count() == 4
+mesh = global_mesh()
+
+arr = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+g = put_sharded_global(arr, mesh)
+
+def f(x):
+    s = jax.lax.psum(jnp.sum(x), "data")
+    return x * 0 + s
+
+out = jax.jit(
+    shard_map(f, mesh=mesh, in_specs=PS("data"), out_specs=PS("data"))
+)(g)
+local = np.asarray([np.asarray(s.data) for s in out.addressable_shards])
+expected = arr.sum()
+assert np.all(local == expected), (local, expected)
+print(f"proc {pid} OK psum={float(local.ravel()[0])}")
+"""
+
+
+def test_two_process_mesh(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=90)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed CPU runtime timed out in this environment")
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        if rc != 0 and ("UNIMPLEMENTED" in out or "not available" in out):
+            pytest.skip(f"distributed CPU collectives unavailable: {out[-200:]}")
+        assert rc == 0, out
+        assert "OK psum=66.0" in out
