@@ -75,3 +75,67 @@ def test_two_process_mesh(tmp_path):
             pytest.skip(f"distributed CPU collectives unavailable: {out[-200:]}")
         assert rc == 0, out
         assert "OK psum=66.0" in out
+
+
+ENGINE_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+jax.distributed.initialize("localhost:29741", num_processes=2, process_id=pid)
+import numpy as np
+from xgnn_tpu import RunConfig, synthetic
+from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+ds = synthetic.make_synthetic_dataset(
+    num_node=2000, avg_degree=6, feat_dim=16, num_class=4, seed=3,
+    train_frac=0.3,
+)
+config = RunConfig(
+    batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+    model="graphsage", sample_type="khop3", num_worker=4,
+    use_dist_graph=True, part_cache=True, num_epoch=1, lr=0.01,
+    root_path="/tmp",
+)
+eng = MultiChipEngine(ds, config).init()
+r = eng.train_epoch(0)
+assert np.isfinite(r["loss"]), r
+print(f"proc {pid} OK loss={r['loss']:.6f}")
+"""
+
+
+def test_two_process_engine(tmp_path):
+    """Full collocated engine (dist-graph + part-cache + dp) across 2
+    processes — the multi-host GGMS path end to end."""
+    script = tmp_path / "engine_worker.py"
+    script.write_text(ENGINE_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed CPU runtime timed out")
+        outs.append((p.returncode, out))
+    losses = []
+    for rc, out in outs:
+        assert rc == 0, out
+        for line in out.splitlines():
+            if "OK loss=" in line:
+                losses.append(float(line.split("loss=")[1]))
+    # both controllers must compute the identical replicated loss
+    assert len(losses) == 2 and abs(losses[0] - losses[1]) < 1e-6, losses

@@ -130,7 +130,7 @@ def test_collocated_train_step(mesh, small_ds):
         seeds[d, :64] = rng.choice(small_ds.train_set, 64, replace=False)
     num_seeds = np.full((NUM_DEV,), 64, np.int32)
     keys = jax.random.split(jax.random.key(5), NUM_DEV)
-    dkeys = jax.random.split(jax.random.key(6), NUM_DEV)
+    dkeys = jax.random.key_data(jax.random.split(jax.random.key(6), NUM_DEV))
 
     losses = []
     for it in range(3):
@@ -139,7 +139,8 @@ def test_collocated_train_step(mesh, small_ds):
             state, graph_r,
             feat_parts, lab_parts,
             put_sharded(seeds, mesh), put_sharded(num_seeds, mesh),
-            put_sharded(keys, mesh), put_sharded(dkeys, mesh),
+            put_sharded(jax.random.key_data(keys), mesh),
+            put_sharded(dkeys, mesh),
         )
         assert not bool(metrics["exchange_overflow"])
         losses.append(float(metrics["loss"]))
@@ -242,8 +243,8 @@ def test_collocated_dist_graph_step(mesh, small_ds):
         state, topo, feat_parts, lab_parts,
         put_sharded(seeds, mesh),
         put_sharded(np.full((NUM_DEV,), 32, np.int32), mesh),
-        put_sharded(jax.random.split(jax.random.key(7), NUM_DEV), mesh),
-        put_sharded(jax.random.split(jax.random.key(8), NUM_DEV), mesh),
+        put_sharded(jax.random.key_data(jax.random.split(jax.random.key(7), NUM_DEV)), mesh),
+        put_sharded(jax.random.key_data(jax.random.split(jax.random.key(8), NUM_DEV)), mesh),
     )
     assert not bool(metrics["exchange_overflow"])
     assert np.isfinite(float(metrics["loss"]))

@@ -133,8 +133,10 @@ class MultiChipEngine:
                 seeds[w, : len(s)] = s
                 nums[w] = n
             step_key = jax.random.fold_in(base_key, step)
-            keys = jax.random.split(step_key, p)
-            dkeys = jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+            keys = jax.random.key_data(jax.random.split(step_key, p))
+            dkeys = jax.random.key_data(
+                jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+            )
             self.state, metrics = self.step_fn(
                 self.state,
                 self.topo,

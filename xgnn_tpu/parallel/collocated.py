@@ -60,7 +60,8 @@ def make_collocated_train_step(
       (the ``--part-cache`` analog).
     - ``label_parts``: (P, rows) interleave-partitioned labels.
     - ``seeds``: (P, batch_cap) per-chip seed shards; ``num_seeds``: (P,);
-      ``keys``/``dkeys``: (P,) per-chip RNG keys.
+      ``keys``/``dkeys``: (P, 2) per-chip RNG key DATA (uint32, from
+      ``jax.random.key_data``).
     """
     tx = make_optimizer(config)
     fanouts = tuple(config.fanout)
@@ -74,8 +75,10 @@ def make_collocated_train_step(
     def per_chip(state, topo, feat_part, label_part, seeds, num_seed, key, drop_key):
         seeds = seeds.reshape(-1)
         num_seed = num_seed.reshape(())
-        key = key.reshape(())
-        drop_key = drop_key.reshape(())
+        # keys arrive as raw uint32 data (typed key arrays don't survive
+        # multi-process host staging)
+        key = jax.random.wrap_key_data(key.reshape(-1))
+        drop_key = jax.random.wrap_key_data(drop_key.reshape(-1))
         if use_dist_graph:
             from .dist_topology import sample_minibatch_partitioned
 
@@ -160,10 +163,30 @@ def make_collocated_train_step(
 
 
 def put_replicated(tree, mesh):
+    """Replicate a pytree over the mesh (multi-process aware: under
+    multi-controller JAX every process supplies the full value)."""
     sharding = NamedSharding(mesh, PS())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    import numpy as np
+
+    def put_one(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(put_one, tree)
 
 
 def put_sharded(arr, mesh, axis_name: str = DATA_AXIS):
+    """Shard ``arr`` along dim 0 over the mesh (multi-process aware)."""
     sharding = NamedSharding(mesh, PS(axis_name))
-    return jax.device_put(arr, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    import numpy as np
+
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
