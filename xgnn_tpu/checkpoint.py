@@ -8,7 +8,7 @@ engine's RNG/epoch position are saved so training resumes exactly.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -28,7 +28,7 @@ from .. import profiler as P
 from ..config import CachePolicy, RunConfig, SampleType
 from ..dataset import Dataset
 from ..models import build_model
-from ..sampler import Sampler, default_capacities
+from ..sampler import Sampler
 from ..store import build_ranking, presample_ranking
 from ..store.feature_store import (
     DynamicTieredFeatureSource,

@@ -11,7 +11,6 @@ SPMD program.  The host loop only shuffles seeds and feeds per-chip shards
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,11 +16,7 @@ partition (``--use-dist-graph``) has its own exchange in
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as PS
 from jax import shard_map

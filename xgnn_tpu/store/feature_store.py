@@ -22,7 +22,6 @@ replacing ``DoGPULabelExtract`` (dist_loops.cc:938-974).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants as C
-
-
 @jax.jit
 def _accumulate(freq, input_nodes, num_input):
     n = input_nodes.shape[0]

@@ -8,7 +8,6 @@ all-reduce analog, rides ICI collectives inserted by XLA).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -16,7 +15,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from .types import Block, SampledBatch
+from .types import Block
 
 
 @struct.dataclass
