@@ -80,6 +80,22 @@ def unique_ordered(ids: jax.Array, out_cap: int):
     return unique_ids, num_unique, local_ids
 
 
+def _forward_fill(values: jax.Array, flags: jax.Array) -> jax.Array:
+    """At each position, the ``values`` entry of the nearest set ``flags``
+    position at or before it (positions before the first set flag keep their
+    input value).  O(log n) doubling, sequential-access only."""
+    n = values.shape[0]
+    v, f = values, flags
+    shift = 1
+    while shift < n:
+        pv = jnp.concatenate([v[:shift], v[:-shift]])
+        pf = jnp.concatenate([jnp.zeros(shift, jnp.bool_), f[:-shift]])
+        v = jnp.where(f, v, pv)
+        f = f | pf
+        shift *= 2
+    return v
+
+
 def unique_seeded(
     ids: jax.Array, num_prev: jax.Array, prev_cap: int, out_cap: int
 ):
@@ -115,25 +131,12 @@ def unique_seeded(
     new_rank = jnp.cumsum(is_first & ~is_prev_first).astype(jnp.int32) - 1
     local_first = jnp.where(is_prev_first, spos, num_prev + new_rank)
 
-    # propagate each run's local id to the run's other elements:
-    # forward-fill of the value at each run-first (associative, scatter-free)
-    def fill(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va), fa | fb
-
-    # pad to a power of two: keeps every recursive level of the scan evenly
-    # split (odd-size splits blow up compile time at multi-million lengths)
-    n_pow2 = 1 << (n - 1).bit_length()
-    pad = n_pow2 - n
-    v0 = jnp.where(is_first, local_first, 0)
-    if pad:
-        v0 = jnp.concatenate([v0, jnp.zeros(pad, v0.dtype)])
-        f0 = jnp.concatenate([is_first, jnp.ones(pad, jnp.bool_)])
-    else:
-        f0 = is_first
-    local_sorted, _ = jax.lax.associative_scan(fill, (v0, f0))
-    local_sorted = local_sorted[:n]
+    # propagate each run's local id to the run's other elements: forward fill
+    # of the value at each run-first, via log-doubling shifts.  Hand-rolled
+    # (not lax.associative_scan): the scan's generic lowering is heavy enough
+    # at multi-million lengths to get remote compilers OOM-killed; this emits
+    # ~4 trivial ops per doubling level.
+    local_sorted = _forward_fill(jnp.where(is_first, local_first, 0), is_first)
 
     # back to original order: sort by position (a permutation ⇒ exact unsort)
     _, local_ids = jax.lax.sort((spos, local_sorted), num_keys=1)
