@@ -7,8 +7,8 @@ from xgnn_tpu.synthetic_device import make_device_dataset
 
 def test_device_csr_invariants():
     ds = make_device_dataset(400, 2400, 8, 4, seed=3)
-    ip = np.asarray(ds.graph.indptr)
-    ind = np.asarray(ds.graph.indices)
+    ip = np.asarray(ds.graph.indptr)[: ds.num_node + 1]
+    ind = np.asarray(ds.graph.indices)[: ds.num_edge]  # tile-padded tail
     assert ip[0] == 0 and ip[-1] == len(ind) == ds.num_edge
     es = set()
     for v in range(ds.num_node):

@@ -59,7 +59,14 @@ class MultiChipEngine:
             if getattr(self.ds, "graph", None) is not None
             else self.ds.indices
         )
-        graph = Graph(indptr=jnp.asarray(indptr), indices=jnp.asarray(indices))
+        from ..ops.tiled import pad_tile
+
+        graph = Graph(
+            indptr=jnp.asarray(pad_tile(indptr)),
+            indices=jnp.asarray(pad_tile(indices)),
+            n_node=int(len(indptr) - 1),
+            n_edge=int(len(indices)),
+        )
 
         caps = cfg.frontier_capacities or default_capacities(
             cfg.batch_size, cfg.fanout, self.ds.num_node

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from .tiled import take_1d
 
 EMPTY = C.EMPTY_KEY
 
@@ -24,13 +25,13 @@ def _uniform_step(indptr, indices, cur, key):
     """One uniform neighbor step; nodes with no neighbors stay put as EMPTY."""
     valid = cur != EMPTY
     node = jnp.where(valid, cur, 0)
-    start = indptr[node]
-    deg = jnp.where(valid, indptr[node + 1] - start, 0)
+    start = take_1d(indptr, node)
+    deg = jnp.where(valid, take_1d(indptr, node + 1) - start, 0)
     u = jax.random.uniform(key, cur.shape)
     off = jnp.minimum(
         jnp.floor(u * deg).astype(jnp.int32), jnp.maximum(deg - 1, 0)
     )
-    nbr = indices[start + off]
+    nbr = take_1d(indices, start + off)
     return jnp.where(deg > 0, nbr, EMPTY)
 
 

@@ -30,16 +30,20 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from .tiled import take_1d
 
 EMPTY = C.EMPTY_KEY
 
 
 def _frontier_meta(indptr: jax.Array, frontier: jax.Array):
-    """Per-node CSR slice (start, degree) with empty-entry masking."""
+    """Per-node CSR slice (start, degree) with empty-entry masking.
+
+    Tiled gathers (ops/tiled.py): scattered element reads are the sampler's
+    bandwidth floor on TPU."""
     valid = frontier != EMPTY
     node = jnp.where(valid, frontier, 0)
-    start = indptr[node]
-    deg = indptr[node + 1] - start
+    start = take_1d(indptr, node)
+    deg = take_1d(indptr, node + 1) - start
     deg = jnp.where(valid, deg, 0)
     return node, start, deg, valid
 
@@ -54,7 +58,7 @@ def sample_khop2(indptr, indices, frontier, fanout: int, key) -> jax.Array:
     u = jax.random.uniform(key, (frontier.shape[0], fanout))
     off = jnp.floor(u * deg[:, None]).astype(jnp.int32)
     off = jnp.minimum(off, jnp.maximum(deg - 1, 0)[:, None])
-    nbr = indices[start[:, None] + off]
+    nbr = take_1d(indices, start[:, None] + off)
     return _mask_rows(nbr, deg)
 
 
@@ -110,7 +114,7 @@ def sample_khop0(indptr, indices, frontier, fanout: int, key) -> jax.Array:
         picks.append(jnp.where(j < deg, pick, 0))
 
     off = jnp.stack(picks, axis=1)
-    nbr = indices[start[:, None] + off]
+    nbr = take_1d(indices, start[:, None] + off)
     j_idx = jnp.arange(fanout, dtype=jnp.int32)[None, :]
     return jnp.where(j_idx < deg[:, None], nbr, EMPTY)
 
@@ -129,9 +133,9 @@ def sample_weighted_khop(
     )
     edge = start[:, None] + slot
     coin = jax.random.uniform(k_coin, (frontier.shape[0], fanout))
-    take_alias = coin >= prob_table[edge]
-    off = jnp.where(take_alias, alias_table[edge], slot)
-    nbr = indices[start[:, None] + off]
+    take_alias = coin >= take_1d(prob_table, edge)
+    off = jnp.where(take_alias, take_1d(alias_table, edge), slot)
+    nbr = take_1d(indices, start[:, None] + off)
     return _mask_rows(nbr, deg)
 
 
@@ -159,7 +163,7 @@ def sample_weighted_khop_prefix(
     b = frontier.shape[0]
     _, start, deg, _ = _frontier_meta(indptr, frontier)
     safe_deg = jnp.maximum(deg, 1)
-    total = prob_prefix_table[start + safe_deg - 1]
+    total = take_1d(prob_prefix_table, start + safe_deg - 1)
     u = jax.random.uniform(key, (b, fanout)) * total[:, None]
 
     lo = jnp.zeros((b, fanout), jnp.int32)
@@ -167,9 +171,9 @@ def sample_weighted_khop_prefix(
     # smallest off with prefix[start+off] > u
     for _ in range(32):
         mid = (lo + hi) >> 1
-        go_right = prob_prefix_table[start[:, None] + mid] <= u
+        go_right = take_1d(prob_prefix_table, start[:, None] + mid) <= u
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     off = jnp.minimum(lo, safe_deg[:, None] - 1)
-    nbr = indices[start[:, None] + off]
+    nbr = take_1d(indices, start[:, None] + off)
     return _mask_rows(nbr, deg)

@@ -41,15 +41,18 @@ def partition_csr_host(indptr: np.ndarray, indices: np.ndarray, num_parts: int):
     ``put_sharded``.  Row ``v`` of the global graph is local row ``v // P``
     of part ``v % P``.
     """
+    from ..ops.tiled import TILE
+
     num_node = len(indptr) - 1
     rows = -(-num_node // num_parts)
-    local_iptr = np.zeros((num_parts, rows + 1), np.int32)
+    iptr_len = -(-(rows + 1) // TILE) * TILE
+    local_iptr = np.zeros((num_parts, iptr_len), np.int32)
     locals_idx = []
     max_edges = 0
     for p in range(num_parts):
         own = np.arange(p, num_node, num_parts)
         degs = indptr[own + 1] - indptr[own]
-        li = np.zeros(rows + 1, np.int64)
+        li = np.zeros(iptr_len, np.int64)
         li[1 : len(own) + 1] = np.cumsum(degs)
         li[len(own) + 1 :] = li[len(own)]
         parts = [indices[indptr[v] : indptr[v + 1]] for v in own]
@@ -59,7 +62,8 @@ def partition_csr_host(indptr: np.ndarray, indices: np.ndarray, num_parts: int):
         local_iptr[p] = li.astype(np.int32)
         locals_idx.append(le)
         max_edges = max(max_edges, len(le))
-    local_idx = np.full((num_parts, max(max_edges, 1)), 0, np.int32)
+    max_edges = -(-max(max_edges, 1) // TILE) * TILE
+    local_idx = np.full((num_parts, max_edges), 0, np.int32)
     for p, le in enumerate(locals_idx):
         local_idx[p, : len(le)] = le
     return local_iptr, local_idx

@@ -145,9 +145,12 @@ def make_device_dataset(
         s, d = src, dst
     build = _build_csr if dedup else _build_csr_fast
     indptr, indices, num_unique = build(s, d, num_node)
-    # trim the padded tail on device (one slice, static upper bound)
+    # trim the padded tail on device, keeping tile alignment (ops/tiled.py)
+    from .ops.tiled import TILE, pad_tile
+
     e = int(num_unique)
-    indices = indices[:e]
+    indices = indices[: -(-e // TILE) * TILE]
+    indptr = pad_tile(indptr, fill=e)
 
     feat = jax.random.normal(k_f, (num_node, feat_dim), jnp.float32)
     # label stays on device (D2H of N-sized arrays is expensive through the
@@ -157,7 +160,7 @@ def make_device_dataset(
     n_train = max(1, int(num_node * train_frac))
     n_val = max(1, int(num_node * 0.02))
     perm = np.asarray(perm_dev[: n_train + 2 * n_val])
-    graph = Graph(indptr=indptr, indices=indices)
+    graph = Graph(indptr=indptr, indices=indices, n_node=num_node, n_edge=e)
     return DeviceDataset(
         name=name,
         num_node=num_node,

@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from . import constants as C
@@ -30,25 +31,34 @@ class Graph:
     partitioned variants live in ``xgnn_tpu.store``.
     """
 
-    indptr: jax.Array  # (num_node + 1,) int32
-    indices: jax.Array  # (num_edge,) int32
-    prob_table: Optional[jax.Array] = None  # (num_edge,) f32 (alias method)
-    alias_table: Optional[jax.Array] = None  # (num_edge,) int32
-    prob_prefix_table: Optional[jax.Array] = None  # (num_edge,) f32
+    indptr: jax.Array  # (>= num_node + 1,) int32, tile-padded
+    indices: jax.Array  # (>= num_edge,) int32, tile-padded
+    prob_table: Optional[jax.Array] = None  # edge-aligned f32 (alias method)
+    alias_table: Optional[jax.Array] = None  # edge-aligned int32
+    prob_prefix_table: Optional[jax.Array] = None  # edge-aligned f32
+    # logical sizes: arrays are padded to the gather tile (ops/tiled.py)
+    n_node: Optional[int] = struct.field(pytree_node=False, default=None)
+    n_edge: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_node(self) -> int:
-        return self.indptr.shape[0] - 1
+        return self.n_node if self.n_node is not None else self.indptr.shape[0] - 1
 
     @property
     def num_edge(self) -> int:
-        return self.indices.shape[0]
+        return self.n_edge if self.n_edge is not None else self.indices.shape[0]
 
     @classmethod
     def from_dataset(cls, ds, device=None, weighted: bool = False) -> "Graph":
-        put = lambda x: jax.device_put(jnp.asarray(x), device)
+        from .ops.tiled import pad_tile
+
+        put = lambda x: jax.device_put(
+            jnp.asarray(pad_tile(np.asarray(x))), device
+        )
+        iptr = np.asarray(ds.indptr)
+        iptr_padded = pad_tile(iptr, fill=int(iptr[-1]))
         return cls(
-            indptr=put(ds.indptr),
+            indptr=jax.device_put(jnp.asarray(iptr_padded), device),
             indices=put(ds.indices),
             prob_table=put(ds.prob_table) if weighted and ds.prob_table is not None else None,
             alias_table=put(ds.alias_table) if weighted and ds.alias_table is not None else None,
@@ -57,6 +67,8 @@ class Graph:
                 if weighted and ds.prob_prefix_table is not None
                 else None
             ),
+            n_node=int(ds.num_node),
+            n_edge=int(ds.num_edge),
         )
 
 
