@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser("xgnn_tpu full-graph accuracy")
-    p.add_argument("--model", default="graphsage", choices=["graphsage", "gcn", "pinsage"])
+    p.add_argument("--model", default="graphsage", choices=["graphsage", "gcn", "gat", "pinsage"])
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--root-path", default="/graph-learning/samgraph/")
     p.add_argument("--synthetic", action="store_true")

@@ -191,3 +191,34 @@ def test_full_graph_inference_oracle(tiny_ds):
     mean1 = h1[ns].mean(0) if len(ns) else np.zeros_like(h1[0])
     exp = sage_layer(p1, h1[v], mean1)
     np.testing.assert_allclose(logits[v], exp, rtol=1e-3, atol=1e-4)
+
+
+def test_gat_full_graph_inference_oracle(tiny_ds):
+    """Full-neighbor GAT aggregation (SDDMM+edge-softmax+SpMM scan) vs a
+    per-node NumPy oracle."""
+    import jax
+    import jax.numpy as jnp
+    from xgnn_tpu.ops.spmm import gat_aggregate_csr
+
+    ds = tiny_ds
+    rng = np.random.default_rng(2)
+    H, D = 2, 4
+    feat = rng.standard_normal((ds.num_node, H, D)).astype(np.float32)
+    el = rng.standard_normal((ds.num_node, H)).astype(np.float32)
+    er = rng.standard_normal((ds.num_node, H)).astype(np.float32)
+    out = np.asarray(
+        gat_aggregate_csr(
+            jnp.asarray(ds.indptr), jnp.asarray(ds.indices),
+            jnp.asarray(feat), jnp.asarray(el), jnp.asarray(er),
+            num_node=ds.num_node, chunk=128,
+        )
+    )
+    for v in range(0, ds.num_node, 7):
+        ns = ds.indices[ds.indptr[v]:ds.indptr[v+1]]
+        if len(ns) == 0:
+            continue
+        for hd in range(H):
+            e = leaky_relu(el[v, hd] + er[ns, hd])
+            a = np.exp(e - e.max()); a /= a.sum()
+            exp = (feat[ns, hd] * a[:, None]).sum(0)
+            np.testing.assert_allclose(out[v, hd], exp, rtol=1e-4, atol=1e-5)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.gnn import GNN
-from .ops.spmm import spmm_csr
+from .ops.spmm import gat_aggregate_csr, spmm_csr
 
 
 def _infer_layer_sage(params, indptr, indices, h, num_node, chunk):
@@ -40,6 +40,19 @@ def _infer_layer_gcn(params, indptr, indices, h, num_node, chunk):
     return agg * inv_sqrt[:, None] + params["bias"]
 
 
+def _infer_layer_gat(params, indptr, indices, h, num_node, chunk, heads):
+    """Exact full-neighbor GAT layer (DGL GATConv semantics)."""
+    w = params["Dense_0"]["kernel"]  # (F, H*D)
+    d = w.shape[1] // heads
+    feat = (h @ w).reshape(num_node, heads, d)
+    el = jnp.sum(feat * params["attn_l"], axis=-1)
+    er = jnp.sum(feat * params["attn_r"], axis=-1)
+    out = gat_aggregate_csr(
+        indptr, indices, feat, el, er, num_node=num_node, chunk=chunk
+    )
+    return out.reshape(num_node, heads * d)
+
+
 def full_graph_inference(
     model: GNN,
     params,
@@ -47,36 +60,44 @@ def full_graph_inference(
     indices: jax.Array,
     feat: jax.Array,
     chunk: int = 1 << 20,
+    num_node=None,
 ) -> jax.Array:
     """Return logits for every node via exact layer-wise propagation.
 
     Degree normalization is over the FULL neighbor set, which is the
     evaluation-time semantics the reference's DGL accuracy harness uses.
     """
-    num_node = indptr.shape[0] - 1
+    # NOTE: pass num_node explicitly for tile-padded Graph arrays; dataset
+    # arrays (the usual callers) are exact-length
+    if num_node is None:
+        num_node = indptr.shape[0] - 1
     layer_fns = {
         "graphsage": _infer_layer_sage,
         "pinsage": _infer_layer_sage,  # uniform weights at eval
         "gcn": _infer_layer_gcn,
+        "gat": _infer_layer_gat,
     }
-    if model.conv not in layer_fns:
-        raise NotImplementedError(
-            f"full-graph inference not supported for {model.conv}"
-        )
     fn = layer_fns[model.conv]
     h = feat
     for i in range(model.num_layers):
         layer_params = params[_layer_key(model, i)]
-        h = fn(layer_params, indptr, indices, h, num_node, chunk)
+        if model.conv == "gat":
+            heads = 1 if i == model.num_layers - 1 else model.num_heads
+            h = fn(layer_params, indptr, indices, h, num_node, chunk, heads)
+        else:
+            h = fn(layer_params, indptr, indices, h, num_node, chunk)
         if i != model.num_layers - 1:
             h = jax.nn.relu(h)
     return h
 
 
 def _layer_key(model: GNN, i: int) -> str:
-    name = {"graphsage": "SAGEConv", "pinsage": "PinSAGEConv", "gcn": "GCNConv"}[
-        model.conv
-    ]
+    name = {
+        "graphsage": "SAGEConv",
+        "pinsage": "PinSAGEConv",
+        "gcn": "GCNConv",
+        "gat": "GATConv",
+    }[model.conv]
     return f"{name}_{i}"
 
 

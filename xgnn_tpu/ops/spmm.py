@@ -60,3 +60,101 @@ def spmm_csr(
         deg = (indptr[1:] - indptr[:-1]).astype(h.dtype)
         acc = acc / jnp.maximum(deg, 1.0)[:, None]
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_node", "chunk"))
+def segment_max_csr(
+    indptr: jax.Array,
+    indices: jax.Array,
+    vals: jax.Array,
+    *,
+    num_node: int,
+    chunk: int = 1 << 20,
+    init: float = -1e30,
+) -> jax.Array:
+    """out[v] = max over neighbors u of vals[u] (CSR rows = v)."""
+    num_edge = indices.shape[0]
+    h = vals.shape[1]
+    num_chunks = -(-num_edge // chunk)
+    pad = num_chunks * chunk - num_edge
+    idx_pad = jnp.concatenate([indices, jnp.zeros(pad, indices.dtype)])
+    epos = jnp.arange(num_chunks * chunk, dtype=jnp.int32).reshape(
+        num_chunks, chunk
+    )
+    idx_chunks = idx_pad.reshape(num_chunks, chunk)
+
+    def body(acc, inputs):
+        eids, nbrs = inputs
+        rows = (
+            jnp.searchsorted(indptr, eids, side="right").astype(jnp.int32) - 1
+        )
+        valid = eids < num_edge
+        v = jnp.take(vals, nbrs, axis=0, mode="clip")
+        v = jnp.where(valid[:, None], v, init)
+        acc = acc.at[jnp.where(valid, rows, num_node)].max(v, mode="drop")
+        return acc, None
+
+    acc = jnp.full((num_node, h), init, vals.dtype)
+    acc, _ = jax.lax.scan(body, acc, (epos, idx_chunks))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_node", "chunk", "negative_slope"))
+def gat_aggregate_csr(
+    indptr: jax.Array,
+    indices: jax.Array,
+    feat: jax.Array,  # (N, H, D) projected features
+    el: jax.Array,  # (N, H) dst-side attention terms
+    er: jax.Array,  # (N, H) src-side attention terms
+    *,
+    num_node: int,
+    chunk: int = 1 << 19,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Full-neighbor GAT aggregation (SDDMM + edge-softmax + SpMM) as one
+    edge-chunked scan — the exact-inference analog of the sampled-path GAT.
+
+    Numerically stable: leaky_relu is monotone, so the per-dst max of
+    ``leaky(el[v] + er[u])`` is ``leaky(el[v] + max_u er[u])``, computed with
+    one segment-max pass; the main scan then accumulates
+    ``w = exp(e - m[v])`` and ``w * feat[u]``.
+    """
+    n, heads, d = feat.shape
+    m = jax.nn.leaky_relu(
+        el + segment_max_csr(indptr, indices, er, num_node=num_node),
+        negative_slope=negative_slope,
+    )  # (N, H)
+
+    num_edge = indices.shape[0]
+    num_chunks = -(-num_edge // chunk)
+    pad = num_chunks * chunk - num_edge
+    idx_pad = jnp.concatenate([indices, jnp.zeros(pad, indices.dtype)])
+    epos = jnp.arange(num_chunks * chunk, dtype=jnp.int32).reshape(
+        num_chunks, chunk
+    )
+    idx_chunks = idx_pad.reshape(num_chunks, chunk)
+
+    def body(carry, inputs):
+        s_num, s_den = carry
+        eids, nbrs = inputs
+        rows = (
+            jnp.searchsorted(indptr, eids, side="right").astype(jnp.int32) - 1
+        )
+        valid = eids < num_edge
+        e = jax.nn.leaky_relu(
+            jnp.take(el, rows, axis=0, mode="clip")
+            + jnp.take(er, nbrs, axis=0, mode="clip"),
+            negative_slope=negative_slope,
+        )
+        w = jnp.exp(e - jnp.take(m, rows, axis=0, mode="clip"))
+        w = jnp.where(valid[:, None], w, 0.0)  # (chunk, H)
+        fv = jnp.take(feat, nbrs, axis=0, mode="clip")  # (chunk, H, D)
+        tgt = jnp.where(valid, rows, num_node)
+        s_num = s_num.at[tgt].add(fv * w[..., None], mode="drop")
+        s_den = s_den.at[tgt].add(w, mode="drop")
+        return (s_num, s_den), None
+
+    s_num = jnp.zeros((num_node, heads, d), feat.dtype)
+    s_den = jnp.zeros((num_node, heads), feat.dtype)
+    (s_num, s_den), _ = jax.lax.scan(body, (s_num, s_den), (epos, idx_chunks))
+    return s_num / jnp.maximum(s_den, 1e-9)[..., None]
