@@ -147,12 +147,13 @@ class Engine:
 
     def _build_feature_source(self):
         cfg = self.config
-        if cfg.cache_percentage <= 0.0 or cfg.cache_percentage >= 1.0:
-            if cfg.cache_percentage >= 1.0 or self._feat_fits_hbm():
-                self.feature_source = HBMFeatureSource(
-                    self.ds.feat, self.device, self.feat_dtype
-                )
-                return
+        # cache_percentage 0 means "no cache requested" → whole-matrix HBM
+        # residency (reference arch1 / full-cache case); >= 1 is the same
+        if not (0.0 < cfg.cache_percentage < 1.0):
+            self.feature_source = HBMFeatureSource(
+                self.ds.feat, self.device, self.feat_dtype
+            )
+            return
         access_freq = None
         if cfg.cache_policy in (
             CachePolicy.PRE_SAMPLE,
@@ -179,10 +180,6 @@ class Engine:
         )
         if cfg.cache_policy == CachePolicy.DYNAMIC:
             self._dyn_freq = jnp.zeros((self.graph.num_node,), jnp.int32)
-
-    def _feat_fits_hbm(self) -> bool:
-        # default to HBM when no cache percentage was requested
-        return True
 
     # ----------------------------------------------------------------- steps
     def _produce(self, item):
