@@ -13,10 +13,12 @@ from evaluation.runner import run_matrix  # noqa: E402
 SMALL = "--small" in sys.argv
 NODES = "30000" if SMALL else "300000"
 
+# pure power-law graph (no homophily rewire): cache policies must exploit
+# the degree skew, which is what this experiment measures
 BASE = [
     "--synthetic", "--synthetic-nodes", NODES, "--num-epoch", "2",
     "--batch-size", "1000", "--fanout", "10", "5", "--num-hidden", "64",
-    "--model", "graphsage",
+    "--model", "graphsage", "--synthetic-signal", "0", "--synthetic-rmat",
 ]
 
 CONFIGS = {}

@@ -28,6 +28,10 @@ def parse_args():
                    help="use an in-memory synthetic graph (no dataset dir)")
     p.add_argument("--synthetic-nodes", type=int, default=100_000)
     p.add_argument("--synthetic-degree", type=int, default=15)
+    p.add_argument("--synthetic-signal", type=float, default=1.5,
+                   help="label-homophily signal strength; 0 = pure power law")
+    p.add_argument("--synthetic-rmat", action="store_true",
+                   help="RMAT generator (heavier degree skew)")
     p.add_argument("--sample-type", default="khop3",
                    choices=["khop0", "khop1", "khop2", "khop3",
                             "weighted_khop", "weighted_khop_prefix",
@@ -112,7 +116,8 @@ def main():
             avg_degree=args.synthetic_degree,
             feat_dim=128,
             num_class=32,
-            planted_signal=1.5,
+            planted_signal=args.synthetic_signal,
+            power_law="rmat" if args.synthetic_rmat else True,
             seed=args.seed,
         )
         if args.sample_type.startswith("weighted"):
