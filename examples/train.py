@@ -44,7 +44,8 @@ def parse_args():
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--cache-policy", default="pre_sample",
                    choices=["degree", "heuristic", "pre_sample", "degree_hop",
-                            "presample_static", "fake_optimal", "random"])
+                            "presample_static", "fake_optimal",
+                            "dynamic_cache", "random"])
     p.add_argument("--cache-percentage", type=float, default=0.0)
     p.add_argument("--presample-epoch", type=int, default=1)
     p.add_argument("--num-worker", type=int, default=1,

@@ -196,3 +196,19 @@ def test_prefetcher_propagates_failures():
             got.append(x)
     assert got == [0, 2, 4]
     pf.close()
+
+
+def test_fake_optimal_cache_policy():
+    skewed = synthetic.make_synthetic_dataset(
+        num_node=2000, avg_degree=6, feat_dim=16, num_class=4, seed=17,
+        train_frac=0.3, power_law="rmat",
+    )
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=1, model="graphsage", cache_policy="fake_optimal",
+        cache_percentage=0.2, pipeline=False, calibration_batches=1,
+        root_path="/tmp",
+    )
+    engine = Engine(skewed, config).init()
+    r = engine.train_epoch(0)
+    assert np.isfinite(r["loss"])

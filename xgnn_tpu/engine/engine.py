@@ -159,6 +159,10 @@ class Engine:
             CachePolicy.PRE_SAMPLE,
             CachePolicy.PRE_SAMPLE_STATIC,
             CachePolicy.DYNAMIC,
+            # fake_optimal ranks by observed access frequency (the reference
+            # builds it from prior node-access logs; presample counts are the
+            # same statistic gathered online)
+            CachePolicy.FAKE_OPTIMAL,
         ):
             t0 = time.perf_counter()
             access_freq = presample_ranking(
