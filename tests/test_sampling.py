@@ -112,13 +112,16 @@ def test_weighted_khop_follows_weights(small_ds):
     ds.prob_prefix_table = np.cumsum(w).astype(np.float32)
     d = 4
     p = w * d / w.sum()
-    # simple alias build
-    prob = p.copy(); alias = np.arange(d)
+    # simple alias build — alias entries are GLOBAL node ids, matching the
+    # reference binary format (create_alias_table.cc:152)
+    prob = p.copy(); alias = ds.indices.copy().astype(np.int64)
     small = [i for i in range(d) if p[i] < 1]; large = [i for i in range(d) if p[i] >= 1]
     while small and large:
         sm, lg = small.pop(), large.pop()
-        alias[sm] = lg; prob[lg] -= (1 - prob[sm])
+        alias[sm] = ds.indices[lg]; prob[lg] -= (1 - prob[sm])
         (small if prob[lg] < 1 else large).append(lg)
+    for i in small + large:
+        prob[i] = 1.0
     ds.prob_table, ds.alias_table = prob.astype(np.float32), alias.astype(np.int32)
 
     frontier = jnp.zeros((512,), jnp.int32)

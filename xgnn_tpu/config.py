@@ -113,9 +113,13 @@ class RunConfig:
     cache_percentage: float = 0.0
     presample_epoch: int = 1
     use_dist_graph: bool = False  # shard topology across the chip mesh
+    # fraction of EDGES whose owner rows live device-resident when
+    # use_dist_graph is on; the remaining nodes' adjacency stays in host RAM
+    # as the last-level partition (reference dist_graph_percentage,
+    # dist_engine.cc:224-235 computes num_cache_node from it;
+    # DeviceDistGraph slot num_partition, dist_graph.h:141-151)
+    dist_graph_percentage: float = 1.0
     part_cache: bool = False  # shard the feature cache across the chip mesh
-    gpu_extract: bool = True  # retained flag name for parity; on TPU the
-    #                           miss path is host-gather + async H2D
 
     # --- random walk (PinSAGE, reference run_config.h:60-66) ---------------
     random_walk_length: int = 3
@@ -130,10 +134,6 @@ class RunConfig:
     # reference common.h:311-317).
     frontier_capacities: Optional[Sequence[int]] = None
     calibration_batches: int = 3
-    # khop0 exact without-replacement sampling uses a vectorized partial
-    # Fisher-Yates; beyond this degree it falls back to with-replacement +
-    # dedup (bias is O(K/d), negligible for d >> K).
-    khop0_exact_max_rounds: int = 4
 
     # --- checkpointing (improvement over reference — SURVEY §5.4) ----------
     checkpoint_dir: Optional[str] = None
@@ -141,12 +141,14 @@ class RunConfig:
 
     # --- misc --------------------------------------------------------------
     seed: int = 42
-    barriered_epoch: int = 0
+    # dynamic-cache refresh gate (reference cuda_loops_arch4.cc:203): the
+    # refreshable cache re-ranks at epoch end when ``barriered_epoch == -1``
+    # (every epoch, the default here as 0 ≡ -1) or ``epoch == barriered_epoch``
+    barriered_epoch: int = -1
     report_acc: int = 0
     profile_level: int = 0
     sanity_check: bool = False
     dump_trace: bool = False
-    unsupervised: bool = False
 
     def __post_init__(self):
         if isinstance(self.arch, str):

@@ -249,29 +249,37 @@ class Engine:
         losses, accs, overflows, num_inputs = [], [], [], []
         t_epoch = time.perf_counter()
         drop_base = jax.random.fold_in(self._dropout_key, epoch)
-        for step, (batch, x, labels, info, (t_sample, t_extract)) in enumerate(stream):
-            k_drop = jax.random.fold_in(drop_base, step)
-            if cfg.dump_trace:
-                prof.trace_begin(epoch, step, "train")
-            t0 = time.perf_counter()
-            self.state, metrics = self._train_step(
-                self.state, batch.blocks, x, labels, batch.num_output, k_drop,
-                batch.overflow,
-            )
-            if not cfg.pipeline:
-                jax.block_until_ready(metrics["loss"])
-            t_train = time.perf_counter() - t0
-            if cfg.dump_trace:
-                prof.trace_end(epoch, step, "train")
-            prof.log_step(epoch, step, P.L1_SAMPLE_TIME, t_sample)
-            prof.log_step(epoch, step, P.L1_COPY_TIME, t_extract)
-            prof.log_step(epoch, step, P.L1_TRAIN_TIME, t_train)
-            prof.log_step(epoch, step, P.L2_CACHE_HIT_RATE, info["hit_rate"])
-            prof.log_step(epoch, step, P.L1_MISS_BYTES, info["miss_bytes"])
-            losses.append(metrics["loss"])
-            accs.append(metrics["acc"])
-            overflows.append(batch.overflow)
-            num_inputs.append(batch.num_input)
+        try:
+            for step, (batch, x, labels, info, (t_sample, t_extract)) in enumerate(
+                stream
+            ):
+                k_drop = jax.random.fold_in(drop_base, step)
+                if cfg.dump_trace:
+                    prof.trace_begin(epoch, step, "train")
+                t0 = time.perf_counter()
+                self.state, metrics = self._train_step(
+                    self.state, batch.blocks, x, labels, batch.num_output,
+                    k_drop, batch.overflow,
+                )
+                if not cfg.pipeline:
+                    jax.block_until_ready(metrics["loss"])
+                t_train = time.perf_counter() - t0
+                if cfg.dump_trace:
+                    prof.trace_end(epoch, step, "train")
+                prof.log_step(epoch, step, P.L1_SAMPLE_TIME, t_sample)
+                prof.log_step(epoch, step, P.L1_COPY_TIME, t_extract)
+                prof.log_step(epoch, step, P.L1_TRAIN_TIME, t_train)
+                prof.log_step(epoch, step, P.L2_CACHE_HIT_RATE, info["hit_rate"])
+                prof.log_step(epoch, step, P.L1_MISS_BYTES, info["miss_bytes"])
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc"])
+                overflows.append(batch.overflow)
+                num_inputs.append(batch.num_input)
+        finally:
+            # stop the producer thread even if the train loop raises — it
+            # must not keep dispatching device work after the consumer died
+            if isinstance(stream, Prefetcher):
+                stream.close()
         # ONE device->host pull for the whole epoch's metrics
         if losses:
             stats = np.asarray(
@@ -302,7 +310,10 @@ class Engine:
             loss = acc = float("nan")
         dt = time.perf_counter() - t_epoch
         prof.log_epoch_add(epoch, "epoch_time", dt)
-        if getattr(self, "_dyn_freq", None) is not None:
+        refresh_gate = (
+            cfg.barriered_epoch in (-1, 0) or epoch == cfg.barriered_epoch
+        )  # reference cuda_loops_arch4.cc:203
+        if getattr(self, "_dyn_freq", None) is not None and refresh_gate:
             # dynamic cache refresh (arch4 analog): hottest nodes by the
             # running access frequency; one small D2H per epoch
             k = self.feature_source.num_cache

@@ -125,7 +125,10 @@ class MultiChipEngine:
             for w in range(p)
         ]
         iters = [s.epoch_batches(epoch) for s in shufflers]
-        num_steps = min(s.num_local_step for s in shufflers)
+        # run the MAX local steps; workers with a short/empty shard feed
+        # empty (num_valid=0) batches — the reference's global-vs-local step
+        # accounting (DistShuffler::NumStep), without silently dropping steps
+        num_steps = max(s.num_local_step for s in shufflers)
         base_key = jax.random.fold_in(jax.random.key(cfg.seed ^ 0xD1), epoch)
 
         losses, accs, overflows = [], [], []
@@ -135,8 +138,9 @@ class MultiChipEngine:
             seeds = np.full((p, self.capacities[0]), C.EMPTY_KEY, C.ID_DTYPE)
             nums = np.zeros((p,), np.int32)
             for w, it in enumerate(iters):
-                s, n = next(it)
-                seeds[w, : len(s)] = s
+                s, n = next(it, (None, 0))
+                if s is not None:
+                    seeds[w, : len(s)] = s
                 nums[w] = n
             step_key = jax.random.fold_in(base_key, step)
             keys = jax.random.key_data(jax.random.split(step_key, p))

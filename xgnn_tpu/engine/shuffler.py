@@ -34,7 +34,8 @@ class Shuffler:
 
         n = len(self.train_set)
         shard = int(np.ceil(n / num_worker))
-        self._shard_size = min(shard, n - worker_id * shard)
+        # tiny train sets can leave trailing workers with an empty shard
+        self._shard_size = max(0, min(shard, n - worker_id * shard))
         if drop_last:
             self.num_local_step = self._shard_size // batch_size
         else:

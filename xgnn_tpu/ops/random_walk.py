@@ -58,12 +58,16 @@ def sample_random_walk(
     cur = seed2d
     visits = []
     for step in range(l):
-        key, k_step, k_restart = jax.random.split(key, 3)
+        key, k_step, k_restart, k_redraw = jax.random.split(key, 4)
         nxt = _uniform_step(indptr, indices, cur, k_step)
         if step > 0:
             restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
             cur = jnp.where(restart, seed2d, cur)
-            nxt = jnp.where(restart, _uniform_step(indptr, indices, cur, k_step), nxt)
+            # fresh key for the re-step: reusing k_step would correlate the
+            # restarted draw with the draw it replaces
+            nxt = jnp.where(
+                restart, _uniform_step(indptr, indices, cur, k_redraw), nxt
+            )
         visits.append(nxt)
         cur = jnp.where(nxt == EMPTY, seed2d, nxt)  # stuck walks restart
 

@@ -134,8 +134,14 @@ def sample_weighted_khop(
     edge = start[:, None] + slot
     coin = jax.random.uniform(k_coin, (frontier.shape[0], fanout))
     take_alias = coin >= take_1d(prob_table, edge)
-    off = jnp.where(take_alias, take_1d(alias_table, edge), slot)
-    nbr = take_1d(indices, start[:, None] + off)
+    # alias_table entries are GLOBAL destination node ids, matching the
+    # reference binary format (create_alias_table.cc:152 stores
+    # indices[off+large_idx]; the CUDA kernel uses the entry directly as dst,
+    # cuda_sampling_weighted_khop.cu:66-71) — no re-dereference through
+    # ``indices``.
+    nbr = jnp.where(
+        take_alias, take_1d(alias_table, edge), take_1d(indices, edge)
+    )
     return _mask_rows(nbr, deg)
 
 

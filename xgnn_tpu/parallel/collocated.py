@@ -17,6 +17,7 @@ partition (``--use-dist-graph``) has its own exchange in
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as PS
 from jax import shard_map
@@ -107,10 +108,16 @@ def make_collocated_train_step(
             feat_local, batch.input_nodes, axis_name, seg_cap
         )
         lab_local = label_part.reshape(-1, 1)
-        labels, _ = partitioned_gather(
+        labels, lab_overflow = partitioned_gather(
             lab_local, batch.output_nodes, axis_name, seg_cap
         )
         labels = labels[:, 0]
+        # any overflow anywhere poisons the step: overflowed exchange slots
+        # received another request's rows, so the whole update is skipped on
+        # device (the single-chip Engine's skip path, train.make_train_step)
+        skip = jax.lax.pmax(
+            overflow | lab_overflow | batch.overflow, axis_name
+        )
 
         def compute_loss(params):
             logits = model.apply(
@@ -127,15 +134,18 @@ def make_collocated_train_step(
         acc = jax.lax.pmean(acc, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        keep = lambda old, new: jax.tree.map(
+            lambda a, b: jnp.where(skip, a, b), old, new
+        )
         new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1
+            params=keep(state.params, params),
+            opt_state=keep(state.opt_state, opt_state),
+            step=state.step + 1,
         )
         metrics = {
-            "loss": loss,
+            "loss": jnp.where(skip, jnp.nan, loss),
             "acc": acc,
-            "exchange_overflow": jax.lax.pmax(
-                overflow | batch.overflow, axis_name
-            ),
+            "exchange_overflow": skip,
         }
         return new_state, metrics
 

@@ -50,9 +50,15 @@ def _rank_by_degree_hop(ds: Dataset) -> np.ndarray:
     """cache_by_degree_hop.cc: degree of node + summed neighbor degrees
     (2-hop reach proxy)."""
     deg = ds.degrees.astype(np.int64)
-    nbr_deg = np.add.reduceat(
-        deg[ds.indices], ds.indptr[:-1].astype(np.int64), dtype=np.int64
+    # reduceat index == len(array) raises; clip trailing zero-degree starts
+    # and rely on the deg==0 fixup below
+    starts = np.minimum(
+        ds.indptr[:-1].astype(np.int64), max(ds.num_edge - 1, 0)
     )
+    if ds.num_edge == 0:
+        nbr_deg = np.zeros(ds.num_node, np.int64)
+    else:
+        nbr_deg = np.add.reduceat(deg[ds.indices], starts, dtype=np.int64)
     nbr_deg[deg == 0] = 0
     score = deg + nbr_deg
     return np.argsort(-score, kind="stable").astype(np.int32)

@@ -175,9 +175,12 @@ def build_alias_tables(ds: Dataset, seed: int = 0) -> None:
     """Attach weighted-sampling tables (random edge weights) to a dataset.
 
     Mirrors the reference datagen outputs ``prob_table.bin`` /
-    ``alias_table.bin`` / ``prob_prefix_table.bin`` (engine.cc:360-380):
+    ``alias_table.bin`` / ``prob_prefix_table.bin`` (engine.cc:360-380;
+    generator ``utility/data-process/toolkit/weight/create_alias_table.cc``):
     per-node alias method over that node's edge-weight slice, stored
-    edge-aligned.
+    edge-aligned.  Alias entries are **global destination node ids**
+    (create_alias_table.cc:152 stores ``indices[off+large_idx]``), so the
+    sampling kernel can use them directly as neighbors.
     """
     rng = np.random.default_rng(seed)
     weights = rng.random(ds.num_edge).astype(np.float32) + 0.1
@@ -185,6 +188,7 @@ def build_alias_tables(ds: Dataset, seed: int = 0) -> None:
     alias = np.zeros(ds.num_edge, dtype=np.int32)
     prefix = np.zeros(ds.num_edge, dtype=np.float32)
     indptr = ds.indptr
+    indices = ds.indices
     for v in range(ds.num_node):
         s, e = int(indptr[v]), int(indptr[v + 1])
         d = e - s
@@ -196,12 +200,16 @@ def build_alias_tables(ds: Dataset, seed: int = 0) -> None:
         small = [i for i in range(d) if p[i] < 1.0]
         large = [i for i in range(d) if p[i] >= 1.0]
         pr = p.copy()
-        al = np.arange(d)
+        al = np.asarray(indices[s:e], dtype=np.int64).copy()  # self → taken at prob 1
         while small and large:
             sm, lg = small.pop(), large.pop()
-            al[sm] = lg
+            al[sm] = indices[s + lg]
             pr[lg] = pr[lg] - (1.0 - pr[sm])
             (small if pr[lg] < 1.0 else large).append(lg)
+        # leftovers take their own slot with certainty (reference
+        # create_alias_table.cc:163-175 sets prob = 1)
+        for i in small + large:
+            pr[i] = 1.0
         prob[s:e] = pr.clip(0.0, 1.0)
         alias[s:e] = al
     ds.prob_table = prob
