@@ -54,6 +54,10 @@ def parse_args():
                    help="dedicated sampler chips (arch5/FGNN mode when > 0)")
     p.add_argument("--use-dist-graph", action="store_true", default=False,
                    help="partition the topology across chips (GGMS)")
+    p.add_argument("--dist-graph-percentage", type=float, default=1.0,
+                   help="edge fraction resident on device; rest served from "
+                        "the host-RAM cold tier (reference "
+                        "dist_graph_percentage)")
     p.add_argument("--part-cache", action="store_true", default=False)
     p.add_argument("--pipeline", action="store_true", default=False)
     p.add_argument("--no-pipeline", dest="pipeline", action="store_false")
@@ -95,6 +99,7 @@ def main():
         arch=("disaggregated" if args.num_sample_worker > 0
               else "collocated" if args.num_worker > 1 else "single"),
         use_dist_graph=args.use_dist_graph,
+        dist_graph_percentage=args.dist_graph_percentage,
         part_cache=args.part_cache,
         cache_policy=args.cache_policy,
         cache_percentage=args.cache_percentage,

@@ -33,6 +33,15 @@ def small_ds():
 
 
 @pytest.fixture(scope="session")
+def learn_ds():
+    """Planted-signal dataset: a GNN can genuinely learn on it."""
+    return synthetic.make_synthetic_dataset(
+        num_node=3000, avg_degree=8, feat_dim=32, num_class=6, seed=2,
+        planted_signal=2.0, train_frac=0.3,
+    )
+
+
+@pytest.fixture(scope="session")
 def tiny_ds():
     return synthetic.make_synthetic_dataset(
         num_node=200, avg_degree=5, feat_dim=16, num_class=4, seed=1,

@@ -156,8 +156,10 @@ def test_partitioned_topology_sampling(mesh, small_ds):
     )
     from xgnn_tpu.config import SampleType
 
-    li, lx = partition_csr_host(small_ds.indptr, small_ds.indices, NUM_DEV)
-    li_s, lx_s = put_sharded(li, mesh), put_sharded(lx, mesh)
+    from xgnn_tpu.parallel.dist_topology import LocalTopo
+
+    lt = partition_csr_host(small_ds.indptr, small_ds.indices, NUM_DEV)
+    li_s, lx_s = put_sharded(lt.indptr, mesh), put_sharded(lt.indices, mesh)
 
     cap, K = 128, 6
     rng = np.random.default_rng(1)
@@ -167,7 +169,8 @@ def test_partitioned_topology_sampling(mesh, small_ds):
 
     def fn(li, lx, f, k):
         neigh, over = sample_layer_partitioned(
-            li.reshape(-1), lx.reshape(-1), f.reshape(-1), K,
+            LocalTopo(li.reshape(li.shape[1:]), lx.reshape(lx.shape[1:])),
+            f.reshape(-1), K,
             k.reshape(()), "data", seg_cap=64,
             sample_type=SampleType.KHOP3,
         )
@@ -229,8 +232,12 @@ def test_collocated_dist_graph_step(mesh, small_ds):
         model, config, mesh, caps, seg_cap=max(caps[-1], 64),
         use_dist_graph=True,
     )
-    li, lx = partition_csr_host(small_ds.indptr, small_ds.indices, NUM_DEV)
-    topo = (put_sharded(li, mesh), put_sharded(lx, mesh))
+    from xgnn_tpu.parallel.dist_topology import LocalTopo
+
+    lt = partition_csr_host(small_ds.indptr, small_ds.indices, NUM_DEV)
+    topo = LocalTopo(
+        *(put_sharded(t, mesh) if t is not None else None for t in lt)
+    )
     feat_parts = put_sharded(shard_interleaved(small_ds.feat, NUM_DEV), mesh)
     lab_parts = put_sharded(
         shard_interleaved(small_ds.label.astype(np.int32), NUM_DEV), mesh
@@ -252,17 +259,150 @@ def test_collocated_dist_graph_step(mesh, small_ds):
 
 
 def test_multi_chip_engine(small_ds):
+    """Fused all-HBM path (cache_percentage=1): 100% of features sharded."""
     from xgnn_tpu.engine.multi_engine import MultiChipEngine
 
     for use_dist in (False, True):
         config = RunConfig(
             batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
             model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
-            use_dist_graph=use_dist, part_cache=True, num_epoch=2,
-            lr=0.01, root_path="/tmp",
+            use_dist_graph=use_dist, part_cache=True, cache_percentage=1.0,
+            num_epoch=2, lr=0.01, root_path="/tmp",
         )
         eng = MultiChipEngine(small_ds, config).init()
+        assert not eng.two_phase
         r0 = eng.train_epoch(0)
         r1 = eng.train_epoch(1)
         assert np.isfinite(r0["loss"]) and np.isfinite(r1["loss"])
         assert r0["steps"] >= 1
+
+
+def test_multi_chip_ggms_partial_cache(learn_ds):
+    """The composed GGMS: partial partitioned cache + host miss path +
+    host topology cold tier — trains, learns, and reports a real hit rate
+    (VERDICT round-1 item 1)."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=32,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=True, dist_graph_percentage=0.6,
+        part_cache=True, cache_percentage=0.25, cache_policy="pre_sample",
+        presample_epoch=1, num_epoch=3, lr=0.01, root_path="/tmp",
+        pipeline=True, report_acc=0,
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    assert eng.two_phase
+    assert eng.num_cache_node is not None
+    assert 0 < eng.num_cache_node < learn_ds.num_node
+    results = [eng.train_epoch(e) for e in range(3)]
+    losses = [r["loss"] for r in results]
+    assert all(np.isfinite(l) for l in losses)
+    # learns: loss drops substantially from the first epoch
+    assert losses[-1] < losses[0] * 0.9
+    # partial cache: hit rate strictly inside (0, 1)
+    assert 0.05 < results[-1]["hit_rate"] < 0.999
+    # mesh-wide evaluation path
+    acc = eng.evaluate("valid", max_batches=2)
+    assert np.isfinite(acc) and acc > 0.0
+
+
+def test_multi_chip_replicated_cache(small_ds):
+    """SGNN mode: per-chip replicated cache (part_cache=False) + host miss
+    path."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=False, cache_percentage=0.3,
+        cache_policy="degree", num_epoch=1, lr=0.01, root_path="/tmp",
+    )
+    eng = MultiChipEngine(small_ds, config).init()
+    assert eng.two_phase
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    assert 0.0 < r["hit_rate"] < 1.0
+
+
+def test_multi_chip_models_and_algorithms(small_ds):
+    """Algorithm × model matrix over the partitioned store (VERDICT round-1
+    item 5): weighted khop and random walk through the owner exchange;
+    GCN/GAT multichip."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+    from xgnn_tpu import synthetic
+
+    synthetic.build_alias_tables(small_ds, seed=3)
+    cases = [
+        ("gcn", "khop0"),
+        ("gat", "khop3"),
+        ("graphsage", "weighted_khop"),
+        ("graphsage", "weighted_khop_prefix"),
+        ("pinsage", "random_walk"),
+    ]
+    for model, st in cases:
+        config = RunConfig(
+            batch_size=32, fanout=(4, 3), num_layer=2, num_hidden=16,
+            model=model, sample_type=st, num_worker=NUM_DEV,
+            use_dist_graph=True, part_cache=True, cache_percentage=1.0,
+            num_epoch=1, lr=0.01, root_path="/tmp", calibration_batches=1,
+        )
+        eng = MultiChipEngine(small_ds, config).init()
+        r = eng.train_epoch(0)
+        assert np.isfinite(r["loss"]), (model, st)
+
+
+def test_partitioned_weighted_sampling_validity(mesh, small_ds):
+    """Weighted khop over the partitioned topology returns true neighbors."""
+    from xgnn_tpu.parallel.dist_topology import (
+        LocalTopo,
+        partition_csr_host,
+        sample_layer_partitioned,
+    )
+    from xgnn_tpu.config import SampleType
+    from xgnn_tpu import synthetic
+
+    synthetic.build_alias_tables(small_ds, seed=4)
+    lt = partition_csr_host(
+        small_ds.indptr, small_ds.indices, NUM_DEV,
+        prob=small_ds.prob_table, alias=small_ds.alias_table,
+        prefix=small_ds.prob_prefix_table,
+    )
+    topo = LocalTopo(
+        *(put_sharded(t, mesh) if t is not None else None for t in lt)
+    )
+
+    cap, K = 64, 5
+    rng = np.random.default_rng(2)
+    fr = rng.integers(0, small_ds.num_node, (NUM_DEV, cap)).astype(np.int32)
+    keys = jax.random.split(jax.random.key(11), NUM_DEV)
+
+    def fn(topo, f, k):
+        t = type(topo)(*(x.reshape(x.shape[1:]) for x in topo))
+        neigh, over = sample_layer_partitioned(
+            t, f.reshape(-1), K, k.reshape(()), "data", seg_cap=64,
+            sample_type=SampleType.WEIGHTED_KHOP,
+        )
+        return neigh[None], over[None]
+
+    neigh, over = jax.jit(
+        shard_map(fn, mesh=mesh,
+                  in_specs=(PS("data"), PS("data"), PS("data")),
+                  out_specs=(PS("data"), PS("data")))
+    )(topo, put_sharded(fr, mesh), put_sharded(keys, mesh))
+    neigh = np.asarray(neigh)
+    assert not np.any(np.asarray(over))
+    checked = 0
+    for d in range(NUM_DEV):
+        for i in range(cap):
+            v = fr[d, i]
+            got = neigh[d, i][neigh[d, i] != EMPTY_KEY]
+            ns = set(
+                small_ds.indices[
+                    small_ds.indptr[v] : small_ds.indptr[v + 1]
+                ].tolist()
+            )
+            if ns:
+                assert set(got.tolist()) <= ns, (v, got, ns)
+                checked += 1
+    assert checked > 300

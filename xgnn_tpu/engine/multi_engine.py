@@ -1,41 +1,96 @@
 """Multi-chip collocated engine (the arch6/XGNN execution mode, end to end).
 
-Drives :func:`xgnn_tpu.parallel.collocated.make_collocated_train_step` over a
-named mesh: every chip samples, fetches features from the partitioned store,
-and trains, with gradient psum — the whole per-step pipeline is ONE compiled
-SPMD program.  The host loop only shuffles seeds and feeds per-chip shards
-(reference: one fork()ed process per GPU + shm barriers,
+Feature parity with the single-chip :class:`~xgnn_tpu.engine.engine.Engine`
+and the reference ``DistEngine`` init/run path
+(``dist/dist_engine.cc:91-700``): capacity calibration, on-device presample
+(``PreSampler``), cache build honoring ``cache_percentage`` /
+``cache_policy`` / ``part_cache``, the ``dist_graph_percentage`` host
+topology tier, pipelined stepping, ``evaluate()``, checkpointing, and
+overflow-grow.
+
+Execution shapes (see ``parallel/collocated.py``):
+
+- everything-in-HBM (``cache_percentage >= 1``): ONE fused SPMD program per
+  step (sample → exchange-extract → train).
+- the full GGMS (partial cache): two programs with the host miss path
+  between them, double-buffered so program A of step n+1 runs on device
+  while the host gathers step n's miss rows — the ``--pipeline`` overlap of
+  ``dist_loops_arch6.cc:55-199``.
+
+The host loop only shuffles seeds and feeds per-chip shards (reference: one
+fork()ed process per GPU + shm barriers,
 ``example/samgraph/sgnn/train_gcn.py:359-389``; here one process, one mesh).
 """
 
 from __future__ import annotations
 
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import clib
 from .. import constants as C
 from .. import profiler as P
-from ..config import RunConfig
+from ..config import CachePolicy, RunConfig, SampleType
 from ..models import build_model
 from ..parallel.collocated import (
     make_collocated_train_step,
+    make_combine_train_step,
+    make_eval_step,
+    make_presample_step,
+    make_sample_split_step,
     put_replicated,
     put_sharded,
 )
-from ..parallel.dist_topology import partition_csr_host
+from ..parallel.dist_topology import (
+    LocalTopo,
+    WEIGHTED_TYPES,
+    partition_csr_host,
+)
 from ..parallel.exchange import shard_interleaved
+from ..parallel.ggms import (
+    HostColdSampler,
+    build_cache,
+    compute_num_cache_node,
+)
 from ..parallel.mesh import make_mesh
-from ..sampler import Sampler, default_capacities
+from ..sampler import Sampler, _layer_fanouts, default_capacities
 from ..train import init_state
 from ..types import Graph
 from .shuffler import Shuffler
 
+EMPTY = C.EMPTY_KEY
+
+_PRESAMPLE_POLICIES = (
+    CachePolicy.PRE_SAMPLE,
+    CachePolicy.PRE_SAMPLE_STATIC,
+    CachePolicy.FAKE_OPTIMAL,
+    CachePolicy.DYNAMIC,
+)
+
+
+def _align_up(n: int, limit: int) -> int:
+    a = C.CAPACITY_ALIGN
+    return min(
+        int(np.ceil(max(limit, 1) / a)) * a, int(np.ceil(max(n, 1) / a)) * a
+    )
+
+
+def _to_host(x) -> np.ndarray:
+    """Pull a (possibly globally-sharded) array to every host — one
+    allgather under multi-controller JAX, a plain D2H otherwise."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
 
 class MultiChipEngine:
-    """Data-parallel + partitioned-store training over all local chips."""
+    """Data-parallel training over all local chips on the composed GGMS."""
 
     def __init__(self, dataset, config: RunConfig, devices=None):
         self.ds = dataset
@@ -47,7 +102,16 @@ class MultiChipEngine:
         self.mesh = make_mesh(devices=self.devices)
         self.profiler = P.Profiler(profile_level=config.profile_level)
         self.num_parts = config.num_worker
+        # full GGMS (two-phase) iff a partial feature cache is requested;
+        # cache >= 1 (or the legacy 0 = "no cache knob" default) keeps the
+        # fused all-HBM path
+        pct = config.cache_percentage
+        self.partial_cache = 0.0 < pct < 1.0 or (
+            pct == 0.0 and config.part_cache
+        )
+        self.two_phase = self.partial_cache
 
+    # ------------------------------------------------------------------ init
     def init(self):
         cfg = self.config
         p = self.num_parts
@@ -59,46 +123,121 @@ class MultiChipEngine:
             if getattr(self.ds, "graph", None) is not None
             else self.ds.indices
         )
+        self._host_indptr = indptr
+        self._host_indices = indices
+        weighted = cfg.sample_type in WEIGHTED_TYPES
+        prob = getattr(self.ds, "prob_table", None) if weighted else None
+        alias = getattr(self.ds, "alias_table", None) if weighted else None
+        prefix = (
+            getattr(self.ds, "prob_prefix_table", None) if weighted else None
+        )
+
+        # --- topology: replicated, fully partitioned, or partitioned with
+        #     a host cold tier (dist_graph_percentage)
+        self.num_cache_node = None
+        self.host_sampler = None
         from ..ops.tiled import pad_tile
 
         graph = Graph(
-            indptr=jnp.asarray(pad_tile(indptr)),
+            indptr=jnp.asarray(pad_tile(indptr, fill=int(indptr[-1]))),
             indices=jnp.asarray(pad_tile(indices)),
+            prob_table=jnp.asarray(pad_tile(prob)) if prob is not None else None,
+            alias_table=jnp.asarray(pad_tile(alias)) if alias is not None else None,
+            prob_prefix_table=(
+                jnp.asarray(pad_tile(prefix)) if prefix is not None else None
+            ),
             n_node=int(len(indptr) - 1),
             n_edge=int(len(indices)),
         )
+        if cfg.use_dist_graph:
+            if cfg.dist_graph_percentage < 1.0:
+                self.num_cache_node = compute_num_cache_node(
+                    indptr, cfg.dist_graph_percentage
+                )
+                self.host_sampler = HostColdSampler(
+                    indptr, indices, cfg.sample_type,
+                    prob_table=prob, alias_table=alias,
+                    prob_prefix_table=prefix,
+                )
+            lt = partition_csr_host(
+                indptr, indices, p,
+                num_cache_node=self.num_cache_node,
+                prob=prob, alias=alias, prefix=prefix,
+            )
+            self.topo = LocalTopo(
+                *(
+                    put_sharded(t, self.mesh) if t is not None else None
+                    for t in lt
+                )
+            )
+        else:
+            self.topo = put_replicated(graph, self.mesh)
+        self._graph = graph
 
-        caps = cfg.frontier_capacities or default_capacities(
-            cfg.batch_size, cfg.fanout, self.ds.num_node
-        )
-        self.capacities = [int(c) for c in caps]
-        seg_cap = max(-(-self.capacities[-1] // p) * 2, 128)
-
-        # stores: partitioned features + labels (the part-cache analog);
-        # topology either replicated or partitioned (use_dist_graph)
-        self.feat_parts = put_sharded(
-            shard_interleaved(np.asarray(self.ds.feat), p), self.mesh
-        )
+        # labels: always 100% interleaved in HBM (int32 per node is small)
         self.lab_parts = put_sharded(
             shard_interleaved(
                 np.asarray(self.ds.label).astype(np.int32), p
             ),
             self.mesh,
         )
-        if cfg.use_dist_graph:
-            li, lx = partition_csr_host(indptr, indices, p)
-            self.topo = (
-                put_sharded(li, self.mesh),
-                put_sharded(lx, self.mesh),
-            )
-        else:
-            self.topo = put_replicated(graph, self.mesh)
-        self.profiler.log_init("store_build_time", time.perf_counter() - t0)
+        self.profiler.log_init("graph_load_time", time.perf_counter() - t0)
 
+        # --- capacities: calibrate from warmup presample batches
+        t0 = time.perf_counter()
+        caps = cfg.frontier_capacities or default_capacities(
+            cfg.batch_size, _layer_fanouts(cfg), self.ds.num_node
+        )
+        self.capacities = [int(c) for c in caps]
+        self._derive_exchange_caps()
+        freq = self._presample_and_calibrate()
+        self.profiler.log_init(
+            "presample_time", time.perf_counter() - t0
+        )
+
+        # --- feature store
+        t0 = time.perf_counter()
+        feat_host = np.asarray(self.ds.feat)
+        self._feat_host = feat_host
+        if self.two_phase:
+            from ..store import build_ranking
+
+            if freq is None and cfg.cache_policy in _PRESAMPLE_POLICIES:
+                # zero-size cache: the ranking is irrelevant
+                ranking = np.arange(self.ds.num_node, dtype=np.int32)
+            else:
+                ranking = build_ranking(self.ds, cfg, freq)
+            posmap, cache_parts, self.num_cache = build_cache(
+                feat_host, ranking, cfg.cache_percentage,
+                p if cfg.part_cache else 1,
+            )
+            from ..ops.tiled import pad_tile as _pt
+
+            self.posmap = put_replicated(
+                jnp.asarray(_pt(posmap, fill=EMPTY)), self.mesh
+            )
+            if cfg.part_cache:
+                self.cache_parts = put_sharded(cache_parts, self.mesh)
+            else:  # SGNN mode: the same cache replicated on every chip
+                self.cache_parts = put_sharded(
+                    np.broadcast_to(
+                        cache_parts.reshape(1, *cache_parts.shape[1:]),
+                        (p,) + cache_parts.shape[1:],
+                    ).copy(),
+                    self.mesh,
+                )
+        else:
+            self.feat_parts = put_sharded(
+                shard_interleaved(feat_host, p), self.mesh
+            )
+            self.num_cache = self.ds.num_node
+        self.profiler.log_init("cache_build_time", time.perf_counter() - t0)
+
+        # --- model + step programs
         t0 = time.perf_counter()
         self.model = build_model(cfg, self.ds.feat_dim, self.ds.num_class)
-        sampler = Sampler(graph, cfg, self.capacities)
-        seeds0 = np.full(self.capacities[0], C.EMPTY_KEY, C.ID_DTYPE)
+        sampler = Sampler(self._graph, cfg, self.capacities)
+        seeds0 = np.full(self.capacities[0], EMPTY, C.ID_DTYPE)
         take = min(len(self.ds.train_set), cfg.batch_size)
         seeds0[:take] = np.asarray(self.ds.train_set[:take])
         b0 = sampler.sample(jnp.asarray(seeds0), take, jax.random.key(0))
@@ -107,12 +246,194 @@ class MultiChipEngine:
             init_state(self.model, cfg, b0.blocks, x0, jax.random.key(cfg.seed)),
             self.mesh,
         )
-        self.step_fn = make_collocated_train_step(
-            self.model, cfg, self.mesh, self.capacities, seg_cap,
-            use_dist_graph=cfg.use_dist_graph,
-        )
+        self._build_step_fns()
         self.profiler.log_init("model_init_time", time.perf_counter() - t0)
         return self
+
+    def _derive_exchange_caps(self):
+        p = self.num_parts
+        self.seg_cap = max(-(-self.capacities[-1] // p) * 2, 128)
+        # miss buffer sized to the expected miss fraction (hot-ranked caches
+        # miss *less* than 1-pct by count; 1.25x headroom, grown on overflow)
+        pct = self.config.cache_percentage if self.two_phase else 1.0
+        miss_frac = min(1.0, 1.25 * max(1.0 - pct, 0.0))
+        self.miss_cap = max(
+            _align_up(
+                int(self.capacities[-1] * miss_frac), self.capacities[-1]
+            ),
+            C.CAPACITY_ALIGN,
+        )
+        self.cold_cap = (
+            max(self.capacities[-1] // 4, 128)
+            if self.num_cache_node is not None
+            else 0
+        )
+
+    def _tier_kwargs(self):
+        return dict(
+            num_cache_node=self.num_cache_node,
+            host_sampler=self.host_sampler,
+            cold_cap=self.cold_cap,
+        )
+
+    def _build_step_fns(self):
+        cfg = self.config
+        if self.two_phase:
+            self._fn_a = make_sample_split_step(
+                cfg, self.mesh, self.capacities, self.seg_cap, self.miss_cap,
+                use_dist_graph=cfg.use_dist_graph,
+                partitioned_cache=cfg.part_cache,
+                **self._tier_kwargs(),
+            )
+            self._fn_b = make_combine_train_step(self.model, cfg, self.mesh)
+            self._fn_eval = make_eval_step(self.model, self.mesh)
+        else:
+            self.step_fn = make_collocated_train_step(
+                self.model, cfg, self.mesh, self.capacities, self.seg_cap,
+                use_dist_graph=cfg.use_dist_graph,
+            )
+            self._fn_eval = None
+
+    # ----------------------------------------------------- presample + calib
+    def _presample_and_calibrate(self) -> Optional[np.ndarray]:
+        """Run warmup batches through the on-device presample program:
+        tighten frontier capacities (PredictNumNodes analog), then — for
+        frequency-ranked cache policies — finish the presample epoch(s) and
+        return per-node access counts (reference PreSampler::DoPreSample +
+        DistEngine presample barrier, dist_engine.cc:453-469)."""
+        cfg = self.config
+        p = self.num_parts
+        need_freq = (
+            self.two_phase
+            and cfg.cache_policy in _PRESAMPLE_POLICIES
+            and cfg.cache_percentage > 0.0
+        )
+        need_calib = cfg.frontier_capacities is None and cfg.calibration_batches > 0
+        if not (need_freq or need_calib):
+            return None
+
+        rows = -(-self.ds.num_node // p)
+        freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
+
+        def run_steps(fn, num_steps, epoch, freq):
+            shufflers = [
+                Shuffler(
+                    np.asarray(self.ds.train_set), cfg.batch_size,
+                    num_worker=p, worker_id=w, seed=cfg.seed ^ 0x5EED,
+                )
+                for w in range(p)
+            ]
+            iters = [s.epoch_batches(epoch) for s in shufflers]
+            total = max(s.num_local_step for s in shufflers)
+            if num_steps is not None:
+                total = min(total, num_steps)
+            base = jax.random.fold_in(
+                jax.random.key(cfg.seed ^ 0x9A3), epoch
+            )
+            sizes_acc = []
+            for step in range(total):
+                seeds = np.full((p, self.capacities[0]), EMPTY, C.ID_DTYPE)
+                nums = np.zeros((p,), np.int32)
+                for w, it in enumerate(iters):
+                    s, n = next(it, (None, 0))
+                    if s is not None:
+                        seeds[w, : len(s)] = s
+                    nums[w] = n
+                keys = jax.random.key_data(
+                    jax.random.split(jax.random.fold_in(base, step), p)
+                )
+                freq, sizes = fn(
+                    freq,
+                    self.topo,
+                    put_sharded(seeds, self.mesh),
+                    put_sharded(nums, self.mesh),
+                    put_sharded(keys, self.mesh),
+                )
+                sizes_acc.append(sizes)
+            return freq, sizes_acc
+
+        fn = make_presample_step(
+            cfg, self.mesh, self.capacities, self.seg_cap,
+            use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+        )
+        freq, sizes_acc = run_steps(
+            fn, max(cfg.calibration_batches, 1), 0, freq
+        )
+        if need_calib and sizes_acc:
+            # one host pull for all calibration sizes
+            sizes = np.asarray(jnp.stack(sizes_acc, axis=0))
+            observed = sizes.max(axis=0)  # (L+1,) max over steps (chips pmaxed)
+            caps = [self.capacities[0]] + [
+                _align_up(int(s * C.ALLOC_SCALE), self.ds.num_node)
+                for s in observed[1:]
+            ]
+            self.capacities = caps
+            self._derive_exchange_caps()
+            self.profiler.log_init("calibrated_input_cap", caps[-1])
+            if need_freq:
+                # rebuild the presample program with tight shapes for the
+                # long run
+                fn = make_presample_step(
+                    cfg, self.mesh, self.capacities, self.seg_cap,
+                    use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+                )
+                freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
+                freq, _ = run_steps(fn, None, 0, freq)
+                for e in range(1, cfg.presample_epoch):
+                    freq, _ = run_steps(fn, None, e, freq)
+        elif need_freq:
+            freq, _ = run_steps(fn, None, 0, freq)
+            for e in range(1, cfg.presample_epoch):
+                freq, _ = run_steps(fn, None, e, freq)
+
+        if not need_freq:
+            return None
+        # interleaved shards → full per-node counts: shard p row r = node p+P*r
+        parts = _to_host(freq)  # (P, rows), one D2H/allgather
+        full = np.zeros(parts.shape[0] * parts.shape[1], np.int64)
+        for w in range(p):
+            full[w::p] = parts[w]
+        return full[: self.ds.num_node]
+
+    # ----------------------------------------------------------------- steps
+    def _seed_shards(self, iters, p):
+        seeds = np.full((p, self.capacities[0]), EMPTY, C.ID_DTYPE)
+        nums = np.zeros((p,), np.int32)
+        for w, it in enumerate(iters):
+            s, n = next(it, (None, 0))
+            if s is not None:
+                seeds[w, : len(s)] = s
+            nums[w] = n
+        return seeds, nums
+
+    def _gather_miss_rows(self, miss_ids: np.ndarray) -> np.ndarray:
+        """Host tier of the feature store: gather miss rows from host RAM
+        (OMP clib, the CPUExtract / GPUExtractMissData analog)."""
+        flat = miss_ids.reshape(-1).astype(np.int64)
+        flat = np.where(flat == EMPTY, -1, flat)
+        rows = clib.gather_rows(self._feat_host, flat)
+        return rows.reshape(
+            self.num_parts, -1, self._feat_host.shape[1]
+        )
+
+    def _finish_step(self, pending, losses, accs, overflows, hits, misses):
+        outs, dkeys = pending
+        t0 = time.perf_counter()
+        miss_ids = _to_host(outs["miss_ids"]).reshape(
+            self.num_parts, -1
+        )  # D2H sync point — overlapped with the next step's program A
+        miss_rows = self._gather_miss_rows(miss_ids)
+        t_copy = time.perf_counter() - t0
+        self.state, metrics = self._fn_b(
+            self.state, outs, put_sharded(miss_rows, self.mesh),
+            put_sharded(dkeys, self.mesh),
+        )
+        losses.append(metrics["loss"])
+        accs.append(metrics["acc"])
+        overflows.append(metrics["exchange_overflow"])
+        hits.append(outs["num_hit"])
+        misses.append(outs["num_miss"])
+        return t_copy
 
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
@@ -125,66 +446,210 @@ class MultiChipEngine:
             for w in range(p)
         ]
         iters = [s.epoch_batches(epoch) for s in shufflers]
-        # run the MAX local steps; workers with a short/empty shard feed
-        # empty (num_valid=0) batches — the reference's global-vs-local step
-        # accounting (DistShuffler::NumStep), without silently dropping steps
         num_steps = max(s.num_local_step for s in shufflers)
         base_key = jax.random.fold_in(jax.random.key(cfg.seed ^ 0xD1), epoch)
 
         losses, accs, overflows = [], [], []
+        hits, misses = [], []
         t_epoch = time.perf_counter()
         t_prev = t_epoch
-        for step in range(num_steps):
-            seeds = np.full((p, self.capacities[0]), C.EMPTY_KEY, C.ID_DTYPE)
-            nums = np.zeros((p,), np.int32)
-            for w, it in enumerate(iters):
-                s, n = next(it, (None, 0))
-                if s is not None:
-                    seeds[w, : len(s)] = s
-                nums[w] = n
-            step_key = jax.random.fold_in(base_key, step)
-            keys = jax.random.key_data(jax.random.split(step_key, p))
-            dkeys = jax.random.key_data(
-                jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+        copy_time = 0.0
+
+        if self.two_phase:
+            pending = None
+            for step in range(num_steps):
+                seeds, nums = self._seed_shards(iters, p)
+                step_key = jax.random.fold_in(base_key, step)
+                keys = jax.random.key_data(jax.random.split(step_key, p))
+                dkeys = jax.random.key_data(
+                    jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+                )
+                outs = self._fn_a(
+                    self.topo, self.posmap, self.cache_parts, self.lab_parts,
+                    put_sharded(seeds, self.mesh),
+                    put_sharded(nums, self.mesh),
+                    put_sharded(keys, self.mesh),
+                )
+                if pending is not None and cfg.pipeline:
+                    copy_time += self._finish_step(
+                        pending, losses, accs, overflows, hits, misses
+                    )
+                    pending = None
+                if cfg.pipeline:
+                    pending = (outs, dkeys)
+                else:
+                    copy_time += self._finish_step(
+                        (outs, dkeys), losses, accs, overflows, hits, misses
+                    )
+                now = time.perf_counter()
+                self.profiler.log_step(
+                    epoch, step, P.L1_TRAIN_TIME, now - t_prev
+                )
+                t_prev = now
+            if pending is not None:
+                copy_time += self._finish_step(
+                    pending, losses, accs, overflows, hits, misses
+                )
+        else:
+            for step in range(num_steps):
+                seeds, nums = self._seed_shards(iters, p)
+                step_key = jax.random.fold_in(base_key, step)
+                keys = jax.random.key_data(jax.random.split(step_key, p))
+                dkeys = jax.random.key_data(
+                    jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+                )
+                self.state, metrics = self.step_fn(
+                    self.state,
+                    self.topo,
+                    self.feat_parts,
+                    self.lab_parts,
+                    put_sharded(seeds, self.mesh),
+                    put_sharded(nums, self.mesh),
+                    put_sharded(keys, self.mesh),
+                    put_sharded(dkeys, self.mesh),
+                )
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc"])
+                overflows.append(metrics["exchange_overflow"])
+                now = time.perf_counter()
+                # the whole sample+extract+train pipeline is one fused SPMD
+                # program here; its wall time is logged as train time
+                self.profiler.log_step(
+                    epoch, step, P.L1_TRAIN_TIME, now - t_prev
+                )
+                t_prev = now
+
+        # ONE device->host pull for the whole epoch's metrics
+        stat_list = [
+            jnp.stack(losses), jnp.stack(accs),
+            jnp.stack(overflows).astype(jnp.float32),
+        ]
+        if hits:
+            stat_list.append(jnp.stack(hits).sum(axis=1).astype(jnp.float32))
+            stat_list.append(
+                jnp.stack(misses).sum(axis=1).astype(jnp.float32)
             )
-            self.state, metrics = self.step_fn(
-                self.state,
-                self.topo,
-                self.feat_parts,
-                self.lab_parts,
-                put_sharded(seeds, self.mesh),
-                put_sharded(nums, self.mesh),
-                put_sharded(keys, self.mesh),
-                put_sharded(dkeys, self.mesh),
-            )
-            losses.append(metrics["loss"])
-            accs.append(metrics["acc"])
-            overflows.append(metrics["exchange_overflow"])
-            now = time.perf_counter()
-            # the whole sample+extract+train pipeline is one fused SPMD
-            # program here; its wall time is logged as train time
-            self.profiler.log_step(epoch, step, P.L1_TRAIN_TIME, now - t_prev)
-            t_prev = now
-        stats = np.asarray(
-            jnp.stack([jnp.stack(losses), jnp.stack(accs),
-                       jnp.stack(overflows).astype(jnp.float32)])
-        )
+        stats = np.asarray(jnp.stack([s.astype(jnp.float32) for s in stat_list[:3]]))
+        hit_rate = 1.0
+        if hits:
+            hm = np.asarray(jnp.stack(stat_list[3:]))
+            total = hm.sum(axis=1)
+            hit_rate = float(total[0] / max(total[0] + total[1], 1.0))
+            self.profiler.log_step(epoch, 0, P.L2_CACHE_HIT_RATE, hit_rate)
+            self.profiler.log_epoch_add(epoch, "copy_time", copy_time)
         dt = time.perf_counter() - t_epoch
         self.profiler.log_epoch_add(epoch, "epoch_time", dt)
         n_over = int(stats[2].sum())
         if n_over:
-            print(f"warning: {n_over} steps hit exchange/frontier capacity")
+            print(
+                f"warning: {n_over} steps hit exchange/frontier capacity in "
+                f"epoch {epoch}; growing capacities"
+            )
+            self._grow_capacities()
         return {
             "epoch": epoch,
             "loss": float(np.nanmean(stats[0])),
             "train_acc": float(np.nanmean(stats[1])),
             "time": dt,
             "steps": num_steps,
+            "hit_rate": hit_rate,
         }
 
+    def _grow_capacities(self):
+        """Overflow response: scale every static capacity and rebuild the
+        step programs (the single-chip Sampler.grow analog)."""
+        self.capacities = [self.capacities[0]] + [
+            _align_up(int(c * 2), self.ds.num_node)
+            for c in self.capacities[1:]
+        ]
+        self.seg_cap *= 2
+        self.miss_cap *= 2
+        if self.cold_cap:
+            self.cold_cap *= 2
+        self._build_step_fns()
+
+    # ------------------------------------------------------------- evaluate
+    def evaluate(self, split: str = "valid", max_batches=None) -> float:
+        """Mesh-wide evaluation over the valid/test split (reference
+        DistEngine evaluation path; requires the two-phase GGMS programs)."""
+        if not self.two_phase:
+            raise NotImplementedError(
+                "evaluate() needs the two-phase GGMS path "
+                "(set 0 < cache_percentage < 1)"
+            )
+        nodes = (
+            self.ds.valid_set if split == "valid" else self.ds.test_set
+        )
+        if len(nodes) == 0:
+            return float("nan")
+        p = self.num_parts
+        shufflers = [
+            Shuffler(
+                np.asarray(nodes), self.config.batch_size,
+                num_worker=p, worker_id=w, seed=0,
+            )
+            for w in range(p)
+        ]
+        iters = [s.epoch_batches(0) for s in shufflers]
+        num_steps = max(s.num_local_step for s in shufflers)
+        if max_batches is not None:
+            num_steps = min(num_steps, max_batches)
+        correct = total = 0.0
+        params = self.state.params
+        for step in range(num_steps):
+            seeds, nums = self._seed_shards(iters, p)
+            keys = jax.random.key_data(
+                jax.random.split(
+                    jax.random.fold_in(jax.random.key(123), step), p
+                )
+            )
+            outs = self._fn_a(
+                self.topo, self.posmap, self.cache_parts, self.lab_parts,
+                put_sharded(seeds, self.mesh),
+                put_sharded(nums, self.mesh),
+                put_sharded(keys, self.mesh),
+            )
+            miss_ids = _to_host(outs["miss_ids"]).reshape(p, -1)
+            miss_rows = self._gather_miss_rows(miss_ids)
+            c, t = self._fn_eval(
+                params, outs, put_sharded(miss_rows, self.mesh)
+            )
+            correct += float(c)
+            total += float(t)
+        return correct / max(total, 1.0)
+
+    # ------------------------------------------------------------------- run
     def run(self) -> dict:
         self.init()
-        results = [self.train_epoch(e) for e in range(self.config.num_epoch)]
+        cfg = self.config
+        ckpt = None
+        start_epoch = 0
+        if cfg.checkpoint_dir:
+            from ..checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(cfg.checkpoint_dir)
+            state, extra = ckpt.restore(jax.tree.map(np.asarray, self.state))
+            if state is not None:
+                self.state = put_replicated(state, self.mesh)
+                start_epoch = (extra or {}).get("epoch", -1) + 1
+                print(f"resumed from checkpoint at epoch {start_epoch}")
+        results = []
+        for epoch in range(start_epoch, cfg.num_epoch):
+            r = self.train_epoch(epoch)
+            if cfg.report_acc and self.two_phase and (
+                epoch % max(cfg.report_acc, 1) == 0
+            ):
+                r["valid_acc"] = self.evaluate("valid")
+            results.append(r)
+            if ckpt and (epoch + 1) % cfg.checkpoint_every == 0:
+                ckpt.save(
+                    epoch, jax.tree.map(np.asarray, self.state),
+                    extra={"epoch": epoch},
+                )
+        if ckpt:
+            ckpt.close()
         extra = {"final_train_acc": results[-1]["train_acc"] if results else 0.0}
+        if results and "hit_rate" in results[-1]:
+            extra["cache_hit_rate"] = results[-1]["hit_rate"]
         out = self.profiler.test_results(extra=extra)
         return {"epochs": results, "test_results": out}

@@ -1,35 +1,134 @@
-"""Collocated multi-chip training step (the XGNN arch6 analog).
+"""Collocated multi-chip training steps (the XGNN arch6 analog).
 
 Every chip samples, extracts, and trains its own mini-batch shard (reference
-``RunArch6LoopsOnce``, ``dist/dist_loops_arch6.cc:55-199``) — expressed as ONE
-jitted SPMD program over a named mesh:
+``RunArch6LoopsOnce``, ``dist/dist_loops_arch6.cc:55-199``), expressed as
+SPMD programs over a named mesh.  Two execution shapes:
 
-  per chip: sample (replicated topology) → feature fetch from the
-  partitioned HBM store via sorted all-to-all (``exchange.partitioned_gather``,
-  replacing NVLink P2P reads) → forward/backward → gradient psum (the
-  NCCL-DDP analog) → replicated optimizer update.
+**Fused** (everything HBM-resident): ONE jitted program per step —
+sample (replicated or partitioned topology) → feature fetch from the
+100%-interleaved HBM store via sorted all-to-all → forward/backward →
+gradient psum → replicated update.
 
-The feature store sharding is the ``--part-cache`` / GGMS path; topology
-partition (``--use-dist-graph``) has its own exchange in
-``dist_topology.py``.
+**Two-phase** (the full GGMS: partial partitioned cache + host tiers):
+program A samples and splits feature requests into cache hits (gathered
+through the owner-chip exchange) and misses (compacted id buffer returned to
+the host); the host gathers miss rows from host RAM (``clib.gather_rows``,
+the ``GPUExtractMissData`` analog) while the device runs the NEXT step's
+program A; program B scatters the miss rows in and trains.  The A/B seam is
+exactly the reference's task-queue boundary between the sample and
+cache-copy sub-loops (``dist_loops_arch6.cc:86-142``) and is what the
+``--pipeline`` overlap rides.
+
+The batch pytree crosses the A→B seam as device-resident sharded arrays
+(scalars widened to per-chip ``(1,)`` lanes) — nothing but the miss ids
+touches the host.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as PS
 from jax import shard_map
 
 from .. import constants as C
-from ..config import RunConfig
-from ..sampler import _sample_minibatch
+from ..config import RunConfig, SampleType
+from ..sampler import _sample_minibatch, _layer_fanouts
 from ..train import TrainState, loss_fn, make_optimizer
-from ..types import Graph
-from .exchange import partitioned_gather
+from ..types import Block, SampledBatch
+from .exchange import partitioned_gather, plan_exchange
+from .ggms import cache_split, combine_miss
 from .mesh import DATA_AXIS
 
+EMPTY = C.EMPTY_KEY
+
+
+def _rw_params(config: RunConfig):
+    return (
+        config.num_random_walk,
+        config.random_walk_length,
+        config.random_walk_restart_prob,
+    )
+
+
+# --------------------------------------------------------------------------
+# batch packing across the A→B program seam
+# --------------------------------------------------------------------------
+
+def pack_batch(batch: SampledBatch) -> dict:
+    """Flatten a SampledBatch into a dict of arrays with scalars widened to
+    (1,) so every leaf can carry a sharded per-chip lane."""
+    out = {
+        "input_nodes": batch.input_nodes,
+        "num_input": batch.num_input.reshape(1),
+        "output_nodes": batch.output_nodes,
+        "num_output": batch.num_output.reshape(1),
+        "overflow": batch.overflow.reshape(1),
+    }
+    for i, b in enumerate(batch.blocks):
+        out[f"neigh{i}"] = b.neigh
+        out[f"ndst{i}"] = b.num_dst.reshape(1)
+        out[f"nsrc{i}"] = b.num_src.reshape(1)
+        if b.weights is not None:
+            out[f"w{i}"] = b.weights
+    return out
+
+
+def unpack_blocks(packed: dict) -> tuple:
+    blocks = []
+    i = 0
+    while f"neigh{i}" in packed:
+        blocks.append(
+            Block(
+                neigh=packed[f"neigh{i}"],
+                num_dst=packed[f"ndst{i}"].reshape(()),
+                num_src=packed[f"nsrc{i}"].reshape(()),
+                weights=packed.get(f"w{i}"),
+            )
+        )
+        i += 1
+    return tuple(blocks)
+
+
+def _unshard(x):
+    """Strip the per-chip leading lane a sharded input carries inside
+    shard_map: (1, ...) → (...)."""
+    return x.reshape(x.shape[1:])
+
+
+def _local_topo(topo, use_dist_graph):
+    if not use_dist_graph:
+        return topo
+    return type(topo)(
+        *(None if t is None else _unshard(t) for t in topo)
+    )
+
+
+def _sample_any(
+    topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
+    axis_name, use_dist_graph, tier,
+):
+    if use_dist_graph:
+        from .dist_topology import sample_minibatch_partitioned
+
+        return sample_minibatch_partitioned(
+            _local_topo(topo, True), seeds, num_seed, key,
+            axis_name=axis_name, seg_cap=seg_cap,
+            sample_type=config.sample_type, fanouts=fanouts,
+            capacities=caps, rw_params=_rw_params(config), **tier,
+        )
+    return _sample_minibatch(
+        topo, seeds, num_seed, key,
+        sample_type=config.sample_type, fanouts=fanouts, capacities=caps,
+        rw_params=_rw_params(config),
+    )
+
+
+# --------------------------------------------------------------------------
+# fused one-program step (everything HBM-resident)
+# --------------------------------------------------------------------------
 
 def make_collocated_train_step(
     model,
@@ -40,34 +139,17 @@ def make_collocated_train_step(
     axis_name: str = DATA_AXIS,
     use_dist_graph: bool = False,
 ):
-    """Build the full SPMD train step.
+    """Build the fused SPMD train step (100% of features/labels interleaved
+    in HBM — the reference's part-cache at cache_percentage=1).
 
     Signature of the returned jitted fn::
 
         (state, topo, feat_parts, label_parts, seeds, num_seeds, keys, dkeys)
             -> (state, metrics)
-
-    - ``state``: replicated TrainState.
-    - ``topo``: replicated Graph (topology), or — with ``use_dist_graph`` —
-      the pair ``(local_indptrs, local_indices)`` from
-      ``dist_topology.partition_csr_host`` sharded over ``axis_name``
-      (the ``--use-dist-graph`` GGMS topology partition).
-    - ``feat_parts``: (P, rows, F) interleave-partitioned features
-      (from ``exchange.shard_interleaved``), sharded over ``axis_name``
-      (the ``--part-cache`` analog).
-    - ``label_parts``: (P, rows) interleave-partitioned labels.
-    - ``seeds``: (P, batch_cap) per-chip seed shards; ``num_seeds``: (P,);
-      ``keys``/``dkeys``: (P, 2) per-chip RNG key DATA (uint32, from
-      ``jax.random.key_data``).
     """
     tx = make_optimizer(config)
-    fanouts = tuple(config.fanout)
+    fanouts = _layer_fanouts(config)
     caps = tuple(int(c) for c in capacities)
-    rw = (
-        config.num_random_walk,
-        config.random_walk_length,
-        config.random_walk_restart_prob,
-    )
 
     def per_chip(state, topo, feat_part, label_part, seeds, num_seed, key, drop_key):
         seeds = seeds.reshape(-1)
@@ -76,38 +158,15 @@ def make_collocated_train_step(
         # multi-process host staging)
         key = jax.random.wrap_key_data(key.reshape(-1))
         drop_key = jax.random.wrap_key_data(drop_key.reshape(-1))
-        if use_dist_graph:
-            from .dist_topology import sample_minibatch_partitioned
-
-            local_iptr, local_idx = topo
-            batch = sample_minibatch_partitioned(
-                local_iptr.reshape(local_iptr.shape[-1]),
-                local_idx.reshape(local_idx.shape[-1]),
-                seeds,
-                num_seed,
-                key,
-                axis_name=axis_name,
-                seg_cap=seg_cap,
-                sample_type=config.sample_type,
-                fanouts=fanouts,
-                capacities=caps,
-            )
-        else:
-            batch = _sample_minibatch(
-                topo,
-                seeds,
-                num_seed,
-                key,
-                sample_type=config.sample_type,
-                fanouts=fanouts,
-                capacities=caps,
-                rw_params=rw,
-            )
-        feat_local = feat_part.reshape(feat_part.shape[-2], feat_part.shape[-1])
+        batch = _sample_any(
+            topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
+            axis_name, use_dist_graph, tier={},
+        )
+        feat_local = _unshard(feat_part)
         x, overflow = partitioned_gather(
             feat_local, batch.input_nodes, axis_name, seg_cap
         )
-        lab_local = label_part.reshape(-1, 1)
+        lab_local = _unshard(label_part).reshape(-1, 1)
         labels, lab_overflow = partitioned_gather(
             lab_local, batch.output_nodes, axis_name, seg_cap
         )
@@ -168,13 +227,283 @@ def make_collocated_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+# --------------------------------------------------------------------------
+# two-phase GGMS step: A = sample + hit/miss split, B = combine + train
+# --------------------------------------------------------------------------
+
+def make_sample_split_step(
+    config: RunConfig,
+    mesh,
+    capacities,
+    seg_cap: int,
+    miss_cap: int,
+    axis_name: str = DATA_AXIS,
+    use_dist_graph: bool = False,
+    num_cache_node=None,
+    host_sampler=None,
+    cold_cap: int = 0,
+    partitioned_cache: bool = True,
+):
+    """Program A: sample a mini-batch per chip, gather cache hits through the
+    partition exchange, compact misses for the host, gather labels.
+
+    Returned jitted fn::
+
+        (topo, posmap, cache_parts, label_parts, seeds, num_seeds, keys)
+            -> dict(packed batch, hit_rows, miss_ids, miss_pos, num_miss,
+                    num_hit, labels, overflow)
+
+    Every output leaf is sharded over ``axis_name`` (scalars as (P,) lanes);
+    only ``miss_ids`` needs to reach the host.
+    """
+    fanouts = _layer_fanouts(config)
+    caps = tuple(int(c) for c in capacities)
+    tier = (
+        dict(
+            num_cache_node=num_cache_node, host_sampler=host_sampler,
+            cold_cap=cold_cap,
+        )
+        if num_cache_node is not None
+        else {}
+    )
+
+    def per_chip(topo, posmap, cache_part, label_part, seeds, num_seed, key):
+        seeds = seeds.reshape(-1)
+        num_seed = num_seed.reshape(())
+        key = jax.random.wrap_key_data(key.reshape(-1))
+        batch = _sample_any(
+            topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
+            axis_name, use_dist_graph, tier,
+        )
+        hit_rows, miss_ids, miss_pos, num_miss, num_hit, c_of = cache_split(
+            posmap, _unshard(cache_part), batch.input_nodes, axis_name,
+            seg_cap, miss_cap, partitioned=partitioned_cache,
+        )
+        lab_local = _unshard(label_part).reshape(-1, 1)
+        labels, l_of = partitioned_gather(
+            lab_local, batch.output_nodes, axis_name, seg_cap
+        )
+        out = pack_batch(batch)
+        out["overflow"] = (batch.overflow | c_of | l_of).reshape(1)
+        out.update(
+            hit_rows=hit_rows,
+            miss_ids=miss_ids,
+            miss_pos=miss_pos,
+            num_miss=num_miss.reshape(1),
+            num_hit=num_hit.reshape(1),
+            labels=labels[:, 0],
+        )
+        return out
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(
+            PS(axis_name) if use_dist_graph else PS(),  # topology
+            PS(),  # posmap (replicated, the sampler-side cache hashtable)
+            PS(axis_name),  # cache partitions
+            PS(axis_name),  # label parts
+            PS(axis_name),  # seeds
+            PS(axis_name),  # num_seeds
+            PS(axis_name),  # sample keys
+        ),
+        out_specs=PS(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_combine_train_step(
+    model, config: RunConfig, mesh, axis_name: str = DATA_AXIS
+):
+    """Program B: scatter host-gathered miss rows into the hit rows, then
+    forward/backward/psum/update with the on-device skip-on-overflow.
+
+    Returned jitted fn::
+
+        (state, packed, miss_rows, dkeys) -> (state, metrics)
+    """
+    tx = make_optimizer(config)
+
+    def per_chip(state, packed, miss_rows, drop_key):
+        drop_key = jax.random.wrap_key_data(drop_key.reshape(-1))
+        x = combine_miss(
+            packed["hit_rows"],
+            _unshard(miss_rows),
+            packed["miss_pos"],
+            packed["num_miss"].reshape(()),
+        )
+        blocks = unpack_blocks(packed)
+        labels = packed["labels"]
+        num_output = packed["num_output"].reshape(())
+        skip = jax.lax.pmax(packed["overflow"].reshape(()), axis_name)
+
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params}, blocks, x, True,
+                rngs={"dropout": drop_key},
+            )
+            return loss_fn(logits, labels, num_output)
+
+        (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        acc = jax.lax.pmean(acc, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        keep = lambda old, new: jax.tree.map(
+            lambda a, b: jnp.where(skip, a, b), old, new
+        )
+        new_state = TrainState(
+            params=keep(state.params, params),
+            opt_state=keep(state.opt_state, opt_state),
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": jnp.where(skip, jnp.nan, loss),
+            "acc": acc,
+            "exchange_overflow": skip,
+        }
+        return new_state, metrics
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(PS(), PS(axis_name), PS(axis_name), PS(axis_name)),
+        out_specs=(PS(), PS()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model, mesh, axis_name: str = DATA_AXIS):
+    """Forward-only B program: combine features, count correct predictions.
+
+    Returned jitted fn:: (params, packed, miss_rows) -> (correct, total)
+    (replicated scalars, psum-reduced over the mesh).
+    """
+
+    def per_chip(params, packed, miss_rows):
+        x = combine_miss(
+            packed["hit_rows"],
+            _unshard(miss_rows),
+            packed["miss_pos"],
+            packed["num_miss"].reshape(()),
+        )
+        blocks = unpack_blocks(packed)
+        labels = packed["labels"]
+        num_output = packed["num_output"].reshape(())
+        logits = model.apply({"params": params}, blocks, x, False)
+        n = logits.shape[0]
+        mask = (jnp.arange(n) < num_output).astype(jnp.float32)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        correct = jax.lax.psum(correct, axis_name)
+        total = jax.lax.psum(num_output.astype(jnp.float32), axis_name)
+        return correct, total
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(PS(), PS(axis_name), PS(axis_name)),
+        out_specs=(PS(), PS()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_presample_step(
+    config: RunConfig,
+    mesh,
+    capacities,
+    seg_cap: int,
+    axis_name: str = DATA_AXIS,
+    use_dist_graph: bool = False,
+    num_cache_node=None,
+    host_sampler=None,
+    cold_cap: int = 0,
+):
+    """Presample program: run the real sampler and accumulate per-node access
+    frequency into an interleave-sharded count array, all on device
+    (reference ``PreSampler::DoPreSample``, dist/pre_sampler.cc:39-163 —
+    worker 0 presamples there; here every chip presamples its shard and
+    counts are owner-accumulated through the exchange).
+
+    Returned jitted fn::
+
+        (freq_parts, topo, seeds, num_seeds, keys)
+            -> (freq_parts', frontier_sizes (P, L+1))
+
+    ``frontier_sizes`` feeds capacity calibration (PredictNumNodes analog).
+    """
+    fanouts = _layer_fanouts(config)
+    caps = tuple(int(c) for c in capacities)
+    tier = (
+        dict(
+            num_cache_node=num_cache_node, host_sampler=host_sampler,
+            cold_cap=cold_cap,
+        )
+        if num_cache_node is not None
+        else {}
+    )
+
+    def per_chip(freq_part, topo, seeds, num_seed, key):
+        num_parts = jax.lax.axis_size(axis_name)
+        seeds = seeds.reshape(-1)
+        num_seed = num_seed.reshape(())
+        key = jax.random.wrap_key_data(key.reshape(-1))
+        batch = _sample_any(
+            topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
+            axis_name, use_dist_graph, tier,
+        )
+        freq = _unshard(freq_part)
+        # owner-side scatter-add through the exchange: ship accessed ids to
+        # their owner chip, owner counts into its interleaved shard
+        ids = batch.input_nodes
+        valid = jnp.arange(ids.shape[0]) < batch.num_input
+        masked = jnp.where(valid, ids, EMPTY)
+        send, _, _, _, _ = plan_exchange(masked, num_parts, seg_cap)
+        req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
+        req = req.reshape(-1)
+        ok = req != EMPTY
+        rows = jnp.where(ok, req // num_parts, freq.shape[0])
+        freq = freq.at[rows].add(ok.astype(freq.dtype), mode="drop")
+        sizes = jnp.stack(
+            [batch.num_output.astype(jnp.int32)]
+            + [b.num_src.astype(jnp.int32) for b in reversed(batch.blocks)]
+        )
+        # replicated max over chips: a single host-addressable (L+1,) array
+        # even under multi-controller JAX
+        sizes = jax.lax.pmax(sizes, axis_name)
+        return freq[None], sizes
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(
+            PS(axis_name),
+            PS(axis_name) if use_dist_graph else PS(),
+            PS(axis_name),
+            PS(axis_name),
+            PS(axis_name),
+        ),
+        out_specs=(PS(axis_name), PS()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+# --------------------------------------------------------------------------
+# host-side placement helpers
+# --------------------------------------------------------------------------
+
 def put_replicated(tree, mesh):
     """Replicate a pytree over the mesh (multi-process aware: under
     multi-controller JAX every process supplies the full value)."""
     sharding = NamedSharding(mesh, PS())
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
-    import numpy as np
 
     def put_one(x):
         arr = np.asarray(x)
@@ -190,8 +519,6 @@ def put_sharded(arr, mesh, axis_name: str = DATA_AXIS):
     sharding = NamedSharding(mesh, PS(axis_name))
     if jax.process_count() == 1:
         return jax.device_put(arr, sharding)
-    import numpy as np
-
     arr = np.asarray(arr)
     return jax.make_array_from_callback(
         arr.shape, sharding, lambda idx: arr[idx]

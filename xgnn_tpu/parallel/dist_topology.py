@@ -1,25 +1,37 @@
 """Partitioned graph topology with remote sampling (the ``--use-dist-graph``
 GGMS path).
 
-The reference partitions CSR by interleaved node id across GPU memories and
-lets sampling kernels dereference remote rows element-by-element over NVLink
-(``DeviceDistGraph``, ``cuda/dist_graph.h:114-158``; partitioning
-``dist_graph.cu:228-272``).  The TPU re-design goes further than batching the
-*reads*: it ships the *sampling* to the owner chip —
+The reference partitions the hot node-id prefix of the CSR by interleaved
+node id across GPU memories and lets sampling kernels dereference rows
+element-by-element over NVLink, falling through to the pinned host
+whole-graph for nodes beyond the prefix (``DeviceDistGraph``,
+``cuda/dist_graph.h:114-158``; partitioning ``dist_graph.cu:228-272``;
+prefix sizing ``dist_engine.cc:224-235``).  The TPU re-design goes further
+than batching the *reads*: it ships the *sampling* to the owner —
 
     sort frontier by owner → all_to_all the (node, seed) requests →
     the owner draws K neighbors per request from its local CSR rows →
-    all_to_all the fixed-size (K,) results back.
+    all_to_all the fixed-size (K,) results back,
+
+and cold (host-tier) nodes are served by a batched host callback
+(``ggms.cold_sample_callback``) instead of per-element zero-copy reads.
 
 This bounds remote traffic at O(frontier × K) ids regardless of degree —
 strictly less than shipping adjacency lists, and each chip's draw uses plain
 local-CSR kernels.  Per-request RNG keys are derived from (step key, node id)
 so results are independent of which chip issued the request.
+
+All 8 sampling algorithms dispatch over this partitioned store, matching the
+reference's templated kernel dispatch (``dist/dist_loops.cc:148-255``):
+khop0-3 and the weighted family run owner-side (weighted tables are
+partitioned edge-aligned with the local CSR; alias entries are global node
+ids so no remap is needed), and random walks are unrolled as per-step
+exchanges (each walk step is a fanout-1 owner draw).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,44 +44,97 @@ from .exchange import plan_exchange
 
 EMPTY = C.EMPTY_KEY
 
+WEIGHTED_TYPES = (
+    SampleType.WEIGHTED_KHOP,
+    SampleType.WEIGHTED_KHOP_PREFIX,
+    SampleType.WEIGHTED_KHOP_HASH_DEDUP,
+)
 
-def partition_csr_host(indptr: np.ndarray, indices: np.ndarray, num_parts: int):
-    """Interleave-partition a CSR on the host: part p owns rows p, p+P, ...
 
-    Returns ``(local_indptrs, local_indices)`` stacked as
-    ``(P, rows+1)`` / ``(P, max_edges)`` (EMPTY-padded) ready for
-    ``put_sharded``.  Row ``v`` of the global graph is local row ``v // P``
-    of part ``v % P``.
+class LocalTopo(NamedTuple):
+    """One chip's partition of the hot topology prefix (+ weighted tables,
+    edge-aligned with ``indices``).  A pytree of stacked ``(P, ...)`` arrays
+    host-side; inside shard_map each chip sees its own slice."""
+
+    indptr: jax.Array
+    indices: jax.Array
+    prob: Optional[jax.Array] = None
+    alias: Optional[jax.Array] = None
+    prefix: Optional[jax.Array] = None
+
+
+def partition_csr_host(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_parts: int,
+    num_cache_node: Optional[int] = None,
+    prob: Optional[np.ndarray] = None,
+    alias: Optional[np.ndarray] = None,
+    prefix: Optional[np.ndarray] = None,
+) -> LocalTopo:
+    """Interleave-partition the hot CSR prefix on the host: part p owns rows
+    p, p+P, ... of ``[0, num_cache_node)``.
+
+    Returns a :class:`LocalTopo` of stacked ``(P, rows+1)`` / ``(P,
+    max_edges)`` arrays ready for ``put_sharded``.  Row ``v`` is local row
+    ``v // P`` of part ``v % P``.  Weighted tables are sliced edge-aligned;
+    alias entries are global node ids (reference binary format) so they need
+    no translation.
     """
     from ..ops.tiled import TILE
 
     num_node = len(indptr) - 1
-    rows = -(-num_node // num_parts)
+    if num_cache_node is None:
+        num_cache_node = num_node
+    rows = max(-(-num_cache_node // num_parts), 1)
     iptr_len = -(-(rows + 1) // TILE) * TILE
     local_iptr = np.zeros((num_parts, iptr_len), np.int32)
     locals_idx = []
+    locals_payload = [[] for _ in range(3)]
+    payloads = [p for p in (prob, alias, prefix)]
     max_edges = 0
     for p in range(num_parts):
-        own = np.arange(p, num_node, num_parts)
+        own = np.arange(p, num_cache_node, num_parts)
         degs = indptr[own + 1] - indptr[own]
         li = np.zeros(iptr_len, np.int64)
         li[1 : len(own) + 1] = np.cumsum(degs)
-        li[len(own) + 1 :] = li[len(own)]
-        parts = [indices[indptr[v] : indptr[v + 1]] for v in own]
+        li[len(own) + 1 :] = li[len(own)] if len(own) else 0
+        slices = [slice(int(indptr[v]), int(indptr[v + 1])) for v in own]
         le = (
-            np.concatenate(parts) if parts else np.empty(0, indices.dtype)
+            np.concatenate([indices[s] for s in slices])
+            if slices
+            else np.empty(0, indices.dtype)
         )
+        for j, pay in enumerate(payloads):
+            if pay is not None:
+                locals_payload[j].append(
+                    np.concatenate([pay[s] for s in slices])
+                    if slices
+                    else np.empty(0, pay.dtype)
+                )
         local_iptr[p] = li.astype(np.int32)
         locals_idx.append(le)
         max_edges = max(max_edges, len(le))
     max_edges = -(-max(max_edges, 1) // TILE) * TILE
-    local_idx = np.full((num_parts, max_edges), 0, np.int32)
+    local_idx = np.zeros((num_parts, max_edges), np.int32)
+    out_payloads = []
+    for j, pay in enumerate(payloads):
+        out_payloads.append(
+            np.zeros((num_parts, max_edges), pay.dtype)
+            if pay is not None
+            else None
+        )
     for p, le in enumerate(locals_idx):
         local_idx[p, : len(le)] = le
-    return local_iptr, local_idx
+        for j, pay in enumerate(payloads):
+            if pay is not None:
+                out_payloads[j][p, : len(locals_payload[j][p])] = (
+                    locals_payload[j][p]
+                )
+    return LocalTopo(local_iptr, local_idx, *out_payloads)
 
 
-def _owner_sample(local_indptr, local_indices, req_ids, fanout, key, sample_type):
+def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type):
     """Draw K neighbors for each requested global id from local CSR rows.
 
     ``req_ids``: (P, S) global node ids owned by this chip (EMPTY padded).
@@ -87,44 +152,80 @@ def _owner_sample(local_indptr, local_indices, req_ids, fanout, key, sample_type
     keys = jax.vmap(jax.random.wrap_key_data)(mixed)
 
     st = SampleType
-    fn = {
+    uniform = {
         st.KHOP0: sampling.sample_khop0,
         st.KHOP1: sampling.sample_khop0,
         st.KHOP2: sampling.sample_khop2,
         st.KHOP3: sampling.sample_khop3,
-    }[sample_type]
+    }
 
     # one vmapped draw per request row: each request is a 1-frontier sample
-    def one(row, k):
-        return fn(local_indptr, local_indices, row[None], fanout, k)[0]
+    if sample_type in uniform:
+        fn = uniform[sample_type]
+
+        def one(row, k):
+            return fn(topo.indptr, topo.indices, row[None], fanout, k)[0]
+    elif sample_type in (st.WEIGHTED_KHOP, st.WEIGHTED_KHOP_HASH_DEDUP):
+        wfn = (
+            sampling.sample_weighted_khop
+            if sample_type == st.WEIGHTED_KHOP
+            else sampling.sample_weighted_khop_hash_dedup
+        )
+
+        def one(row, k):
+            return wfn(
+                topo.indptr, topo.indices, topo.prob, topo.alias,
+                row[None], fanout, k,
+            )[0]
+    elif sample_type == st.WEIGHTED_KHOP_PREFIX:
+
+        def one(row, k):
+            return sampling.sample_weighted_khop_prefix(
+                topo.indptr, topo.indices, topo.prefix, row[None], fanout, k
+            )[0]
+    else:
+        raise NotImplementedError(sample_type)
 
     out = jax.vmap(one)(local_rows, keys)  # (P*S, K)
     return out.reshape(num_parts, req_ids.shape[1], fanout)
 
 
 def sample_layer_partitioned(
-    local_indptr: jax.Array,
-    local_indices: jax.Array,
+    topo: LocalTopo,
     frontier: jax.Array,
     fanout: int,
     key: jax.Array,
     axis_name: str,
     seg_cap: int,
     sample_type: SampleType = SampleType.KHOP3,
+    *,
+    num_cache_node: Optional[int] = None,
+    host_sampler=None,
+    cold_cap: int = 0,
 ):
     """One sampling layer over the partitioned topology (inside shard_map).
+
+    With a host tier (``num_cache_node`` set), frontier nodes at or beyond
+    the prefix are served by the host callback — the reference's partition
+    slot ``num_partition`` (dist_graph.h:141-151).
 
     Returns ``(neigh (cap, K) global ids, overflow)``.
     """
     num_parts = jax.lax.axis_size(axis_name)
+    has_cold = num_cache_node is not None and host_sampler is not None
+    if has_cold:
+        valid = frontier != EMPTY
+        hot_frontier = jnp.where(
+            valid & (frontier < num_cache_node), frontier, EMPTY
+        )
+    else:
+        hot_frontier = frontier
     send, perm, owner_sorted, rank, overflow = plan_exchange(
-        frontier, num_parts, seg_cap
+        hot_frontier, num_parts, seg_cap
     )
     req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
     req = req.reshape(num_parts, seg_cap)
-    drawn = _owner_sample(
-        local_indptr, local_indices, req, fanout, key, sample_type
-    )
+    drawn = _owner_sample(topo, req, fanout, key, sample_type)
     resp = jax.lax.all_to_all(drawn, axis_name, 0, 0, tiled=True)
     resp = resp.reshape(num_parts, seg_cap, fanout)
     safe_owner = jnp.minimum(owner_sorted, num_parts - 1)
@@ -134,12 +235,100 @@ def sample_layer_partitioned(
         (owner_sorted < num_parts)[:, None], picked, EMPTY
     )
     neigh = jnp.full_like(picked, EMPTY).at[perm].set(picked)
+    if has_cold:
+        from .ggms import cold_sample_callback
+
+        cold_neigh, cold_mask, cold_of = cold_sample_callback(
+            host_sampler, frontier, jax.random.key_data(key), fanout,
+            num_cache_node, cold_cap,
+        )
+        neigh = jnp.where(cold_mask[:, None], cold_neigh, neigh)
+        overflow = overflow | cold_of
     return neigh, overflow
 
 
+def _walk_step_partitioned(
+    topo, cur, key, axis_name, seg_cap, num_cache_node, host_sampler, cold_cap
+):
+    """One uniform walk step over the partitioned store: fanout-1 owner draw
+    (the per-element remote reads of cuda_sampling_random_walk.cu batched
+    into an exchange)."""
+    nbr, of = sample_layer_partitioned(
+        topo, cur, 1, key, axis_name, seg_cap, SampleType.KHOP2,
+        num_cache_node=num_cache_node, host_sampler=host_sampler,
+        cold_cap=cold_cap,
+    )
+    return nbr[:, 0], of
+
+
+def sample_random_walk_partitioned(
+    topo: LocalTopo,
+    frontier: jax.Array,
+    fanout: int,
+    key: jax.Array,
+    axis_name: str,
+    seg_cap: int,
+    *,
+    num_random_walk: int,
+    random_walk_length: int,
+    restart_prob: float,
+    num_cache_node: Optional[int] = None,
+    host_sampler=None,
+    cold_cap: int = 0,
+):
+    """Restart random walks + per-seed top-K frequency over the partitioned
+    topology (reference dispatches ``GPUSampleRandomWalk`` over
+    ``DeviceDistGraph``; here each walk step is an owner-side exchange).
+
+    Mirrors ``ops.random_walk.sample_random_walk``'s frequency/top-K logic.
+    """
+    b = frontier.shape[0]
+    w, l = num_random_walk, random_walk_length
+    seed2d = jnp.broadcast_to(frontier[:, None], (b, w))
+    cur = seed2d
+    visits = []
+    overflow = jnp.zeros((), jnp.bool_)
+    walk_seg_cap = seg_cap * w
+    walk_cold_cap = cold_cap * w if cold_cap else 0
+
+    def step_fn(cur2d, k):
+        flat, of = _walk_step_partitioned(
+            topo, cur2d.reshape(-1), k, axis_name, walk_seg_cap,
+            num_cache_node, host_sampler, walk_cold_cap,
+        )
+        return flat.reshape(b, w), of
+
+    for step in range(l):
+        key, k_step, k_restart, k_redraw = jax.random.split(key, 4)
+        nxt, of = step_fn(cur, k_step)
+        overflow = overflow | of
+        if step > 0:
+            restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
+            cur = jnp.where(restart, seed2d, cur)
+            redrawn, of2 = step_fn(cur, k_redraw)
+            nxt = jnp.where(restart, redrawn, nxt)
+            overflow = overflow | of2
+        visits.append(nxt)
+        cur = jnp.where(nxt == EMPTY, seed2d, nxt)
+
+    v = jnp.stack(visits, axis=2).reshape(b, w * l)
+    v = jnp.where(v == frontier[:, None], EMPTY, v)
+    eq = v[:, :, None] == v[:, None, :]
+    counts = jnp.sum(eq, axis=2).astype(jnp.int32)
+    m = v.shape[1]
+    tri = jnp.tril(jnp.ones((m, m), jnp.bool_), k=-1)
+    seen_before = jnp.any(eq & tri[None, :, :], axis=2)
+    is_first = (~seen_before) & (v != EMPTY)
+    score = jnp.where(is_first, counts, -1)
+    top_score, top_idx = jax.lax.top_k(score, fanout)
+    neigh = jnp.take_along_axis(v, top_idx, axis=1)
+    neigh = jnp.where(top_score > 0, neigh, EMPTY)
+    weights = jnp.where(top_score > 0, top_score, 0).astype(jnp.float32)
+    return neigh, weights, overflow
+
+
 def sample_minibatch_partitioned(
-    local_indptr: jax.Array,
-    local_indices: jax.Array,
+    topo: LocalTopo,
     seeds: jax.Array,
     num_seed: jax.Array,
     key: jax.Array,
@@ -149,11 +338,16 @@ def sample_minibatch_partitioned(
     sample_type: SampleType,
     fanouts: Sequence[int],
     capacities: Sequence[int],
+    rw_params: tuple = (4, 3, 0.5),
+    num_cache_node: Optional[int] = None,
+    host_sampler=None,
+    cold_cap: int = 0,
 ):
     """Multi-layer sampling over the partitioned topology (inside shard_map).
 
     Mirrors ``sampler._sample_minibatch`` but each layer's neighbor draw goes
-    through the owner-side exchange.  Frontier dedup/remap stays chip-local.
+    through the owner-side exchange (+ host cold tier).  Frontier dedup/remap
+    stays chip-local.
     """
     from ..ops import unique
     from ..types import Block, SampledBatch
@@ -162,12 +356,25 @@ def sample_minibatch_partitioned(
     num_frontier = num_seed
     blocks = []
     overflow = jnp.zeros((), jnp.bool_)
+    tier = dict(
+        num_cache_node=num_cache_node, host_sampler=host_sampler,
+        cold_cap=cold_cap,
+    )
     for layer, fanout in enumerate(fanouts):
         key, k_layer = jax.random.split(key)
-        nbr, of = sample_layer_partitioned(
-            local_indptr, local_indices, frontier, fanout, k_layer,
-            axis_name, seg_cap, sample_type,
-        )
+        weights = None
+        if sample_type == SampleType.RANDOM_WALK:
+            num_rw, rw_len, restart = rw_params
+            nbr, weights, of = sample_random_walk_partitioned(
+                topo, frontier, fanout, k_layer, axis_name, seg_cap,
+                num_random_walk=num_rw, random_walk_length=rw_len,
+                restart_prob=restart, **tier,
+            )
+        else:
+            nbr, of = sample_layer_partitioned(
+                topo, frontier, fanout, k_layer, axis_name, seg_cap,
+                sample_type, **tier,
+            )
         overflow = overflow | of
         ids = jnp.concatenate([frontier, nbr.reshape(-1)])
         out_cap = capacities[layer + 1]
@@ -179,6 +386,7 @@ def sample_minibatch_partitioned(
                 neigh=local[frontier.shape[0] :].reshape(nbr.shape),
                 num_dst=num_frontier,
                 num_src=num_unique,
+                weights=weights,
             )
         )
         overflow = overflow | (num_unique > out_cap)
