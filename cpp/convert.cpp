@@ -12,6 +12,15 @@
 //   xgnn-convert degrees  <dataset_dir>
 //   xgnn-convert cache-by-degree <dataset_dir>
 //   xgnn-convert cache-by-random <dataset_dir> [seed]
+//   xgnn-convert cache-by-degree-hop <dataset_dir>
+//   xgnn-convert cache-by-heuristic <dataset_dir>
+//   xgnn-convert create-weights <dataset_dir> [seed]
+//
+// create-weights emits prob_table.bin / alias_table.bin /
+// prob_prefix_table.bin for the weighted sampling family (reference
+// utility/data-process/toolkit/weight/create_alias_table.cc; loaded at
+// samgraph/common/engine.cc:360-380).  Alias entries are GLOBAL destination
+// node ids, identical to the reference binary format.
 //
 // All outputs follow the byte layout in xgnn_tpu/constants.py (identical to
 // the reference's: uint32 CSR, meta.txt KEY VALUE).
@@ -20,6 +29,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <numeric>
 #include <random>
@@ -123,13 +133,139 @@ int cmd_cache_by_random(const std::string &dir, unsigned seed) {
   return 0;
 }
 
+void write_f32(const std::string &path, const std::vector<float> &v) {
+  std::ofstream f(path, std::ios::binary);
+  f.write(reinterpret_cast<const char *>(v.data()), v.size() * sizeof(float));
+}
+
+// cache_by_degree_hop.cc analog: rank nodes reachable within 2 hops of the
+// train set by their degree restricted to the reachable subgraph, then the
+// rest by plain degree.
+int cmd_cache_by_degree_hop(const std::string &dir) {
+  long n = read_meta_num_node(dir);
+  std::vector<uint32_t> indptr = read_u32(dir + "/indptr.bin");
+  std::vector<uint32_t> indices = read_u32(dir + "/indices.bin");
+  std::vector<uint32_t> train = read_u32(dir + "/train_set.bin");
+  std::vector<uint8_t> touched(n, 0);
+  for (uint32_t t : train) touched[t] = 1;
+  for (int hop = 0; hop < 2; ++hop) {  // hopNodes(dataset, 2)
+    std::vector<uint8_t> next = touched;
+#pragma omp parallel for schedule(dynamic, 4096)
+    for (long v = 0; v < n; ++v) {
+      if (!touched[v]) continue;
+      for (uint32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+        next[indices[e]] = 1;
+    }
+    touched.swap(next);
+  }
+  std::vector<uint32_t> score(n, 0);
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (long v = 0; v < n; ++v) {
+    if (!touched[v]) continue;
+    uint32_t s = 0;
+    for (uint32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+      s += touched[indices[e]];
+    score[v] = s;
+  }
+  std::vector<uint32_t> rank(n);
+  std::iota(rank.begin(), rank.end(), 0);
+  std::stable_sort(rank.begin(), rank.end(), [&](uint32_t a, uint32_t b) {
+    if (touched[a] != touched[b]) return touched[a] > touched[b];
+    uint32_t da = touched[a] ? score[a] : indptr[a + 1] - indptr[a];
+    uint32_t db = touched[b] ? score[b] : indptr[b + 1] - indptr[b];
+    return da > db;
+  });
+  write_u32(dir + "/cache_by_degree_hop.bin", rank);
+  printf("cache_by_degree_hop: wrote ranking of %ld nodes\n", n);
+  return 0;
+}
+
+// cache_by_heuristic.cc analog: train set first, then its 1-hop frontier,
+// then everything else by descending degree.
+int cmd_cache_by_heuristic(const std::string &dir) {
+  long n = read_meta_num_node(dir);
+  std::vector<uint32_t> indptr = read_u32(dir + "/indptr.bin");
+  std::vector<uint32_t> indices = read_u32(dir + "/indices.bin");
+  std::vector<uint32_t> train = read_u32(dir + "/train_set.bin");
+  std::vector<uint8_t> added(n, 0);
+  std::vector<uint32_t> rank;
+  rank.reserve(n);
+  for (uint32_t t : train)
+    if (!added[t]) { rank.push_back(t); added[t] = 1; }
+  for (uint32_t t : train)
+    for (uint32_t e = indptr[t]; e < indptr[t + 1]; ++e) {
+      uint32_t u = indices[e];
+      if (!added[u]) { rank.push_back(u); added[u] = 1; }
+    }
+  std::vector<uint32_t> rest;
+  rest.reserve(n - rank.size());
+  for (long v = 0; v < n; ++v)
+    if (!added[v]) rest.push_back(v);
+  std::stable_sort(rest.begin(), rest.end(), [&](uint32_t a, uint32_t b) {
+    return indptr[a + 1] - indptr[a] > indptr[b + 1] - indptr[b];
+  });
+  rank.insert(rank.end(), rest.begin(), rest.end());
+  write_u32(dir + "/cache_by_heuristic.bin", rank);
+  printf("cache_by_heuristic: wrote ranking of %ld nodes\n", n);
+  return 0;
+}
+
+// create_alias_table.cc analog: random integer edge weights (kDefault
+// policy), per-node alias tables + prefix-sum tables, OMP-parallel.
+// Alias entries are GLOBAL node ids (create_alias_table.cc:152).
+int cmd_create_weights(const std::string &dir, unsigned seed) {
+  long n = read_meta_num_node(dir);
+  std::vector<uint32_t> indptr = read_u32(dir + "/indptr.bin");
+  std::vector<uint32_t> indices = read_u32(dir + "/indices.bin");
+  size_t num_edge = indices.size();
+  std::vector<float> prob(num_edge, 0.f), prefix(num_edge, 0.f);
+  std::vector<uint32_t> alias(num_edge, 0);
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (long v = 0; v < n; ++v) {
+    uint32_t off = indptr[v], len = indptr[v + 1] - off;
+    if (len == 0) continue;
+    std::mt19937 rng(seed ^ (0x9E3779B9u * (uint32_t)v));
+    std::uniform_int_distribution<int> dist(1, 10);
+    std::vector<float> w(len);
+    double sum = 0;
+    for (uint32_t i = 0; i < len; ++i) { w[i] = (float)dist(rng); sum += w[i]; }
+    double acc = 0;
+    for (uint32_t i = 0; i < len; ++i) {
+      acc += w[i];
+      prefix[off + i] = (float)acc;
+      w[i] = (float)(w[i] / sum * len);
+    }
+    std::deque<uint32_t> smalls, larges;
+    for (uint32_t i = 0; i < len; ++i)
+      (w[i] < 1.f ? smalls : larges).push_back(i);
+    for (uint32_t i = 0; i < len; ++i) alias[off + i] = indices[off + i];
+    while (!smalls.empty() && !larges.empty()) {
+      uint32_t s = smalls.front(); smalls.pop_front();
+      uint32_t l = larges.front(); larges.pop_front();
+      prob[off + s] = w[s];
+      alias[off + s] = indices[off + l];
+      w[l] -= (1.f - w[s]);
+      (w[l] < 1.f ? smalls : larges).push_back(l);
+    }
+    while (!larges.empty()) { prob[off + larges.front()] = 1.f; larges.pop_front(); }
+    while (!smalls.empty()) { prob[off + smalls.front()] = 1.f; smalls.pop_front(); }
+  }
+  write_f32(dir + "/prob_table.bin", prob);
+  write_u32(dir + "/alias_table.bin", alias);
+  write_f32(dir + "/prob_prefix_table.bin", prefix);
+  printf("create-weights: wrote alias/prob/prefix tables for %zu edges\n",
+         num_edge);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char **argv) {
   if (argc < 3) {
     fprintf(stderr,
             "usage: xgnn-convert <coo2csr|degrees|cache-by-degree|"
-            "cache-by-random> args...\n");
+            "cache-by-random|cache-by-degree-hop|cache-by-heuristic|"
+            "create-weights> args...\n");
     return 1;
   }
   std::string cmd = argv[1];
@@ -139,6 +275,10 @@ int main(int argc, char **argv) {
   if (cmd == "cache-by-degree") return cmd_cache_by_degree(argv[2]);
   if (cmd == "cache-by-random")
     return cmd_cache_by_random(argv[2], argc > 3 ? atoi(argv[3]) : 0);
+  if (cmd == "cache-by-degree-hop") return cmd_cache_by_degree_hop(argv[2]);
+  if (cmd == "cache-by-heuristic") return cmd_cache_by_heuristic(argv[2]);
+  if (cmd == "create-weights")
+    return cmd_create_weights(argv[2], argc > 3 ? atoi(argv[3]) : 0);
   fprintf(stderr, "bad subcommand/args\n");
   return 1;
 }

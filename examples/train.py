@@ -52,6 +52,8 @@ def parse_args():
                    help="data-parallel chips (arch6 mode when > 1)")
     p.add_argument("--num-sample-worker", type=int, default=0,
                    help="dedicated sampler chips (arch5/FGNN mode when > 0)")
+    p.add_argument("--num-train-worker", type=int, default=1,
+                   help="data-parallel trainer chips in arch5 mode")
     p.add_argument("--use-dist-graph", action="store_true", default=False,
                    help="partition the topology across chips (GGMS)")
     p.add_argument("--dist-graph-percentage", type=float, default=1.0,
@@ -96,6 +98,7 @@ def main():
         dropout=args.dropout,
         num_worker=args.num_worker,
         num_sample_worker=max(args.num_sample_worker, 1),
+        num_train_worker=args.num_train_worker,
         arch=("disaggregated" if args.num_sample_worker > 0
               else "collocated" if args.num_worker > 1 else "single"),
         use_dist_graph=args.use_dist_graph,

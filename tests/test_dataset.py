@@ -83,3 +83,74 @@ def test_cpp_toolkit(tmp_path, tiny_ds):
     ix = np.fromfile(os.path.join(out_dir, C.INDICES_FILE), np.uint32)
     np.testing.assert_array_equal(ip, tiny_ds.indptr.astype(np.uint32))
     np.testing.assert_array_equal(ix, tiny_ds.indices.astype(np.uint32))
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REPO, "cpp", "xgnn-convert")),
+    reason="xgnn-convert not built",
+)
+def test_cpp_weights_and_rankings(tmp_path, tiny_ds):
+    """create-weights emits reference-format alias tables (global node ids);
+    degree-hop / heuristic rankings are valid permutations."""
+    from xgnn_tpu import load_dataset, save_dataset
+
+    path = str(tmp_path / "ds")
+    save_dataset(tiny_ds, path)
+    exe = os.path.join(REPO, "cpp", "xgnn-convert")
+
+    r = subprocess.run([exe, "create-weights", path, "7"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    prob = np.fromfile(os.path.join(path, C.PROB_TABLE_FILE), np.float32)
+    alias = np.fromfile(os.path.join(path, C.ALIAS_TABLE_FILE), np.uint32)
+    prefix = np.fromfile(
+        os.path.join(path, C.PROB_PREFIX_TABLE_FILE), np.float32
+    )
+    assert len(prob) == len(alias) == len(prefix) == tiny_ds.num_edge
+    assert np.all((prob >= 0) & (prob <= 1.0 + 1e-5))
+    for v in range(tiny_ds.num_node):
+        s, e = tiny_ds.indptr[v], tiny_ds.indptr[v + 1]
+        if e == s:
+            continue
+        row = set(tiny_ds.indices[s:e].tolist())
+        # alias entries are global node ids within this node's neighbors
+        assert set(alias[s:e].tolist()) <= row
+        assert np.all(np.diff(prefix[s:e]) > 0)  # strictly increasing
+
+    # the tables drive the weighted sampler end-to-end
+    import jax
+    import jax.numpy as jnp
+    from xgnn_tpu.ops import sampling
+
+    ds2 = load_dataset(path)
+    frontier = jnp.asarray(
+        np.arange(min(64, ds2.num_node), dtype=np.int32)
+    )
+    nbr = np.asarray(sampling.sample_weighted_khop(
+        jnp.asarray(ds2.indptr), jnp.asarray(ds2.indices),
+        jnp.asarray(ds2.prob_table), jnp.asarray(ds2.alias_table),
+        frontier, 4, jax.random.key(0),
+    ))
+    for i in range(len(frontier)):
+        got = nbr[i][nbr[i] != C.EMPTY_KEY]
+        row = set(
+            ds2.indices[ds2.indptr[i]:ds2.indptr[i + 1]].tolist()
+        )
+        assert set(got.tolist()) <= row
+
+    for cmd, fname in (
+        ("cache-by-degree-hop", C.CACHE_BY_DEGREE_HOP_FILE),
+        ("cache-by-heuristic", C.CACHE_BY_HEURISTIC_FILE),
+    ):
+        r = subprocess.run([exe, cmd, path], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        rank = np.fromfile(os.path.join(path, fname), np.uint32)
+        assert len(rank) == tiny_ds.num_node
+        assert len(np.unique(rank)) == tiny_ds.num_node  # permutation
+    # heuristic: the train set occupies the prefix
+    rank = np.fromfile(
+        os.path.join(path, C.CACHE_BY_HEURISTIC_FILE), np.uint32
+    )
+    assert set(rank[: len(tiny_ds.train_set)].tolist()) == set(
+        np.unique(tiny_ds.train_set).tolist()
+    )

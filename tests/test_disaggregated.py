@@ -49,3 +49,42 @@ def test_sampler_trainer_split(small_ds):
     losses = np.asarray(jnp.stack(losses))
     assert np.all(np.isfinite(losses))
     assert int(state.step) == 4
+
+
+def test_disagg_engine_2x2_learns(learn_ds):
+    """2 sampler chips → 2 data-parallel trainer chips with a trainer-side
+    tiered cache (reference arch5 multi-trainer DDP + DistCacheManager,
+    dist_loops_arch5.cc:56-297) — VERDICT round-1 item 7."""
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=32,
+        model="graphsage", sample_type="khop3", lr=0.01, root_path="/tmp",
+        num_sample_worker=2, num_train_worker=2, arch="disaggregated",
+        cache_percentage=0.3, cache_policy="degree", num_epoch=3,
+        pipeline=True,
+    )
+    eng = DisaggregatedEngine(learn_ds, config).init()
+    assert len(eng.feature_sources) == 2
+    results = [eng.train_epoch(e) for e in range(3)]
+    losses = [r["loss"] for r in results]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] * 0.9  # learns
+    acc = eng.evaluate("valid", max_batches=2)
+    assert np.isfinite(acc) and acc > 0.0
+
+
+def test_disagg_engine_presample_cache(small_ds):
+    """pre_sample cache policy rides sampler chip 0 (arch5 presample)."""
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", lr=0.01, root_path="/tmp",
+        num_sample_worker=1, num_train_worker=1, arch="disaggregated",
+        cache_percentage=0.2, cache_policy="pre_sample", presample_epoch=1,
+        num_epoch=1, pipeline=False,
+    )
+    eng = DisaggregatedEngine(small_ds, config).init()
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])

@@ -1,12 +1,22 @@
-"""Disaggregated engine: dedicated sampler chips feed trainer chips
-(reference arch5 / FGNN mode, end to end).
+"""Disaggregated engine: dedicated sampler chips feed data-parallel trainer
+chips (reference arch5 / FGNN mode, end to end).
 
 The reference runs ``num_sample_worker`` sampler processes and
 ``num_train_worker`` trainer processes connected by a shared-memory task
-queue (``dist_loops_arch5.cc``).  Here: sampler chips run the sampling jit,
-batches ship to the trainer chip via async D2D ``device_put``, and the host
-prefetch pipeline keeps both sides busy.  One trainer chip per engine
-instance (multi-trainer data parallelism is the collocated engine's job).
+queue, with a per-trainer feature cache and DDP
+(``dist_loops_arch5.cc:56-297``, ``dist/dist_cache_manager*``,
+``example/samgraph/multi_gpu/train_gcn.py``).  Here:
+
+- sampler chips run the sampling jit round-robin
+  (``parallel.disaggregated.DisaggregatedSampler``);
+- each batch ships to its trainer chip via async D2D ``device_put``; the M
+  per-trainer batches are stitched into globally-sharded arrays
+  (``assemble_sharded`` — the MessageTaskQueue analog, zero host staging);
+- each trainer holds its own feature source (HBM-resident, or the tiered
+  HBM-cache + host-RAM store when ``cache_percentage < 1`` — the
+  ``DistCacheManager`` analog);
+- the train step is ONE SPMD program over the trainer mesh with gradient
+  psum (DDP).
 """
 
 from __future__ import annotations
@@ -19,16 +29,29 @@ import numpy as np
 
 from .. import constants as C
 from .. import profiler as P
-from ..config import RunConfig
+from ..config import CachePolicy, RunConfig
 from ..models import build_model
-from ..parallel.disaggregated import DisaggregatedSampler
-from ..store.feature_store import HBMFeatureSource, LabelSource
-from ..train import init_state, make_train_step
+from ..parallel.disaggregated import (
+    DisaggregatedSampler,
+    assemble_sharded,
+    make_disagg_train_step,
+)
+from ..parallel.collocated import pack_batch, put_replicated
+from ..parallel.mesh import make_mesh
+from ..store import build_ranking, presample_ranking
+from ..store.feature_store import (
+    HBMFeatureSource,
+    LabelSource,
+    TieredFeatureSource,
+)
+from ..train import init_state, make_eval_step
 from .pipeline import Prefetcher
 from .shuffler import Shuffler
 
 
 class DisaggregatedEngine:
+    """N sampler chips → M data-parallel trainer chips."""
+
     def __init__(self, dataset, config: RunConfig, devices=None):
         self.ds = dataset
         self.config = config
@@ -38,12 +61,13 @@ class DisaggregatedEngine:
             f"need {need} chips ({config.num_sample_worker} samplers + "
             f"{config.num_train_worker} trainers), have {len(devices)}"
         )
-        assert config.num_train_worker == 1, (
-            "disaggregated engine drives one trainer chip; use the "
-            "collocated engine for data-parallel training"
-        )
         self.sample_devices = devices[: config.num_sample_worker]
-        self.train_device = devices[config.num_sample_worker]
+        self.train_devices = devices[
+            config.num_sample_worker : config.num_sample_worker
+            + config.num_train_worker
+        ]
+        self.train_mesh = make_mesh(devices=self.train_devices)
+        self.num_trainer = config.num_train_worker
         self.profiler = P.Profiler(profile_level=config.profile_level)
 
     def init(self):
@@ -52,75 +76,210 @@ class DisaggregatedEngine:
         self.svc = DisaggregatedSampler(
             self.ds, cfg, self.sample_devices, cfg.frontier_capacities
         )
-        self.feature_source = HBMFeatureSource(self.ds.feat, self.train_device)
-        self.label_source = LabelSource(self.ds.label, self.train_device)
         self.profiler.log_init("sample_init_time", time.perf_counter() - t0)
+
+        # --- per-trainer feature sources (DistCacheManager analog)
+        t0 = time.perf_counter()
+        tiered = 0.0 < cfg.cache_percentage < 1.0
+        ranking = None
+        if tiered:
+            access_freq = None
+            if cfg.cache_policy in (
+                CachePolicy.PRE_SAMPLE,
+                CachePolicy.PRE_SAMPLE_STATIC,
+                CachePolicy.FAKE_OPTIMAL,
+                CachePolicy.DYNAMIC,
+            ):
+                # presample rides sampler chip 0 (reference: worker 0
+                # presamples, dist_engine.cc:453-469)
+                access_freq = presample_ranking(
+                    self.svc.samplers[0], self.ds.train_set, cfg,
+                    self.ds.num_node,
+                )
+            ranking = build_ranking(self.ds, cfg, access_freq)
+        self.feature_sources = []
+        self.label_sources = []
+        for dev in self.train_devices:
+            if tiered:
+                src = TieredFeatureSource(
+                    np.asarray(self.ds.feat), ranking, cfg.cache_percentage,
+                    device=dev,
+                )
+            else:
+                src = HBMFeatureSource(self.ds.feat, dev)
+            self.feature_sources.append(src)
+            self.label_sources.append(LabelSource(self.ds.label, dev))
+        self.profiler.log_init("cache_build_time", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         self.model = build_model(cfg, self.ds.feat_dim, self.ds.num_class)
         seeds = np.full(self.svc.capacities[0], C.EMPTY_KEY, C.ID_DTYPE)
         take = min(len(self.ds.train_set), cfg.batch_size)
         seeds[:take] = np.asarray(self.ds.train_set[:take])
-        b0 = self.svc.sample_to(seeds, take, jax.random.key(0), self.train_device)
-        x, _ = self.feature_source.extract(b0.input_nodes, b0.num_input)
-        self.state = init_state(self.model, cfg, b0.blocks, x, jax.random.key(cfg.seed))
-        self._train_step = make_train_step(self.model, cfg)
+        b0 = self.svc.sample_to(
+            seeds, take, jax.random.key(0), self.train_devices[0]
+        )
+        x0, _ = self.feature_sources[0].extract(b0.input_nodes, b0.num_input)
+        self.state = put_replicated(
+            init_state(self.model, cfg, b0.blocks, x0, jax.random.key(cfg.seed)),
+            self.train_mesh,
+        )
+        self._train_step = make_disagg_train_step(
+            self.model, cfg, self.train_mesh
+        )
+        self._eval_step = make_eval_step(self.model)
         self.profiler.log_init("train_init_time", time.perf_counter() - t0)
         return self
 
+    # ------------------------------------------------------------- pipeline
     def _produce(self, item):
-        (seeds, n), key = item
+        """One global step: M per-trainer batches sampled on the sampler
+        chips, shipped D2D, extracted per trainer, stitched into sharded
+        mesh arrays (runs in the prefetch thread when pipelining).
+
+        NOTE: wall times here measure host dispatch, not sampler-chip
+        occupancy — per-chip time needs the trace profiler."""
+        shards, keys = item
         t0 = time.perf_counter()
-        batch = self.svc.sample_to(seeds, n, key, self.train_device)
+        trees = []
+        for t, ((seeds, n), key) in enumerate(zip(shards, keys)):
+            batch = self.svc.sample_to(
+                seeds, n, key, self.train_devices[t]
+            )
+            x, info = self.feature_sources[t].extract(
+                batch.input_nodes, batch.num_input
+            )
+            labels = self.label_sources[t].extract(
+                batch.output_nodes, batch.num_output
+            )
+            tree = pack_batch(batch)
+            tree["x"] = x
+            tree["labels"] = labels
+            trees.append(tree)
         t1 = time.perf_counter()
-        x, info = self.feature_source.extract(batch.input_nodes, batch.num_input)
-        labels = self.label_source.extract(batch.output_nodes, batch.num_output)
-        t2 = time.perf_counter()
-        return batch, x, labels, info, (t1 - t0, t2 - t1)
+        stitched = assemble_sharded(trees, self.train_mesh)
+        return stitched, (t1 - t0,)
 
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
-        shuffler = Shuffler(
-            np.asarray(self.ds.train_set), cfg.batch_size, seed=cfg.seed + 1
-        )
+        m = self.num_trainer
+        shufflers = [
+            Shuffler(
+                np.asarray(self.ds.train_set), cfg.batch_size,
+                num_worker=m, worker_id=t, seed=cfg.seed + 1,
+            )
+            for t in range(m)
+        ]
+        iters = [s.epoch_batches(epoch) for s in shufflers]
+        num_steps = max(s.num_local_step for s in shufflers)
         base = jax.random.fold_in(jax.random.key(cfg.seed ^ 0xA5), epoch)
 
         def work():
-            for step, item in enumerate(shuffler.epoch_batches(epoch)):
-                yield item, jax.random.fold_in(base, step)
+            for step in range(num_steps):
+                shards, keys = [], []
+                for t, it in enumerate(iters):
+                    s, n = next(
+                        it,
+                        (
+                            np.full(cfg.batch_size, C.EMPTY_KEY, C.ID_DTYPE),
+                            0,
+                        ),
+                    )
+                    shards.append((s, n))
+                    keys.append(
+                        jax.random.fold_in(base, step * m + t)
+                    )
+                yield shards, keys
 
         stream = (
             Prefetcher(work(), self._produce, depth=cfg.prefetch_depth)
             if cfg.pipeline
             else map(self._produce, work())
         )
-        losses, accs = [], []
+        losses, accs, overs = [], [], []
         t_epoch = time.perf_counter()
-        for step, (batch, x, labels, info, (ts, te)) in enumerate(stream):
-            self.state, metrics = self._train_step(
-                self.state, batch.blocks, x, labels, batch.num_output,
-                jax.random.fold_in(base, (1 << 20) + step), batch.overflow,
-            )
-            self.profiler.log_step(epoch, step, P.L1_SAMPLE_TIME, ts)
-            self.profiler.log_step(epoch, step, P.L1_COPY_TIME, te)
-            losses.append(metrics["loss"])
-            accs.append(metrics["acc"])
+        try:
+            for step, (stitched, (t_dispatch,)) in enumerate(stream):
+                dkeys = jax.random.key_data(
+                    jax.random.split(
+                        jax.random.fold_in(base, (1 << 20) + step), m
+                    )
+                )
+                from ..parallel.collocated import put_sharded
+
+                x = stitched.pop("x")
+                labels = stitched.pop("labels")
+                self.state, metrics = self._train_step(
+                    self.state, stitched, x, labels,
+                    put_sharded(dkeys, self.train_mesh),
+                )
+                self.profiler.log_step(
+                    epoch, step, P.L1_SAMPLE_TIME, t_dispatch
+                )
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc"])
+                overs.append(metrics["exchange_overflow"])
+        finally:
+            if isinstance(stream, Prefetcher):
+                stream.close()
         stats = (
-            np.asarray(jnp.stack([jnp.stack(losses), jnp.stack(accs)]))
+            np.asarray(
+                jnp.stack(
+                    [
+                        jnp.stack(losses), jnp.stack(accs),
+                        jnp.stack(overs).astype(jnp.float32),
+                    ]
+                )
+            )
             if losses
-            else np.full((2, 1), np.nan)
+            else np.full((3, 1), np.nan)
         )
         dt = time.perf_counter() - t_epoch
+        self.profiler.log_epoch_add(epoch, "epoch_time", dt)
         return {
             "epoch": epoch,
             "loss": float(np.nanmean(stats[0])),
             "train_acc": float(np.nanmean(stats[1])),
             "time": dt,
+            "steps": num_steps,
         }
+
+    def evaluate(self, split: str = "valid", max_batches=None) -> float:
+        """Single-trainer evaluation through sampler chip 0 + trainer 0's
+        feature source."""
+        nodes = self.ds.valid_set if split == "valid" else self.ds.test_set
+        if len(nodes) == 0:
+            return float("nan")
+        shuffler = Shuffler(np.asarray(nodes), self.config.batch_size, seed=0)
+        params = jax.tree.map(np.asarray, self.state.params)
+        accs, weights = [], []
+        for i, (seeds, n) in enumerate(shuffler.epoch_batches(0)):
+            if max_batches is not None and i >= max_batches:
+                break
+            batch = self.svc.sample_to(
+                seeds, n, jax.random.fold_in(jax.random.key(123), i),
+                self.train_devices[0],
+            )
+            x, _ = self.feature_sources[0].extract(
+                batch.input_nodes, batch.num_input
+            )
+            labels = self.label_sources[0].extract(
+                batch.output_nodes, batch.num_output
+            )
+            acc = self._eval_step(
+                jax.device_put(params, self.train_devices[0]),
+                batch.blocks, x, labels, batch.num_output,
+            )
+            accs.append(float(acc))
+            weights.append(n)
+        return float(np.average(accs, weights=weights)) if accs else float("nan")
 
     def run(self) -> dict:
         self.init()
         results = [self.train_epoch(e) for e in range(self.config.num_epoch)]
+        if self.config.report_acc:
+            acc = self.evaluate("valid")
+            print(f"test_result:valid_acc={acc:.4f}")
         out = self.profiler.test_results(
             extra={"final_train_acc": results[-1]["train_acc"] if results else 0.0}
         )
