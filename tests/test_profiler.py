@@ -53,6 +53,33 @@ def test_node_access(tmp_path):
     freq = p.node_access_frequency()
     assert freq[0] == (3, 3)
     path = str(tmp_path / "freq.tsv")
-    p.dump_node_access(path)
+    deg = np.array([0, 5, 7, 9])
+    p.dump_node_access(path, in_degrees=deg, out_degrees=deg)
     lines = open(path).read().strip().split("\n")
-    assert lines[0] == "3\t3"
+    # reference layout: node access in_deg out_deg (profiler.cc:754-759)
+    assert lines[0] == "3 3 9 9"
+
+
+def test_node_access_analytics(tmp_path):
+    """Frequency curve (optimal-cache-hit), similarity, memory accounting."""
+    p = P.Profiler()
+    p.enable_node_access_log()
+    p.log_node_access(np.array([1, 2, 3, 4]))      # step 0
+    p.log_node_access(np.array([2, 3, 4, 5]))      # step 1: overlap 3/4
+    path = str(tmp_path / "freq.txt")
+    p.dump_node_access_frequency(path, num_node=10)
+    rows = [l.split() for l in open(path).read().strip().split("\n")]
+    # freq 2 covers nodes {2,3,4}: count 3, access 6 of 8 total
+    assert rows[0][0] == "2" and rows[0][1] == "3"
+    assert abs(float(rows[-1][6]) - 1.0) < 1e-6  # access prefix ends at 1
+
+    # optimal hit caching the 3 hottest of 10 nodes = 6/8
+    assert abs(p.optimal_cache_hit_rate(0.3, 10) - 6 / 8) < 1e-6
+
+    spath = str(tmp_path / "sim.txt")
+    p.dump_node_access_similarity(spath)
+    lines = open(spath).read().strip().split("\n")
+    assert lines[1] == "1 4 3 0.750000"
+
+    p.log_mem_usage("test_phase")  # works on any backend (0 on CPU)
+    assert "mem:test_phase:bytes_in_use" in p._init_items

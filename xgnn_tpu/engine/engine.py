@@ -90,6 +90,7 @@ class Engine:
                 self.ds, self.device, weighted=weighted
             )
         self.profiler.log_init("graph_load_time", time.perf_counter() - t0)
+        self.profiler.log_mem_usage("graph_load", self.device)
 
         t0 = time.perf_counter()
         self.sampler = Sampler(self.graph, cfg)
@@ -100,6 +101,7 @@ class Engine:
         self._build_feature_source()
         self.label_source = LabelSource(self.ds.label, self.device)
         self.profiler.log_init("cache_build_time", time.perf_counter() - t0)
+        self.profiler.log_mem_usage("cache_build", self.device)
 
         t0 = time.perf_counter()
         self.model = build_model(cfg, self.ds.feat_dim, self.ds.num_class)
@@ -111,6 +113,7 @@ class Engine:
         self._train_step = make_train_step(self.model, cfg)
         self._eval_step = make_eval_step(self.model)
         self.profiler.log_init("model_init_time", time.perf_counter() - t0)
+        self.profiler.log_mem_usage("model_init", self.device)
         return self
 
     def _first_batch_seeds(self):
@@ -371,6 +374,22 @@ class Engine:
             path = "xgnn_trace.json"
             self.profiler.dump_trace(path)
             print(f"trace dumped to {path}")
+        if self.profiler._log_node_access:
+            # the three reference analytics files (profiler.cc:659-795)
+            deg = self.ds.degrees
+            self.profiler.dump_node_access(
+                "node_access.txt", in_degrees=deg, out_degrees=deg
+            )
+            self.profiler.dump_node_access_frequency(
+                "node_access_frequency.txt", self.ds.num_node
+            )
+            self.profiler.dump_node_access_similarity(
+                "node_access_similarity.txt"
+            )
+            opt = self.profiler.optimal_cache_hit_rate(
+                max(self.config.cache_percentage, 0.0), self.ds.num_node
+            )
+            print(f"test_result:optimal_cache_hit_rate={opt:.6f}")
         out = self.profiler.test_results(
             extra={"final_train_acc": results[-1]["train_acc"] if results else 0.0}
         )

@@ -182,6 +182,7 @@ class MultiChipEngine:
             self.mesh,
         )
         self.profiler.log_init("graph_load_time", time.perf_counter() - t0)
+        self.profiler.log_mem_usage("graph_load", self.devices[0])
 
         # --- capacities: calibrate from warmup presample batches
         t0 = time.perf_counter()
@@ -232,6 +233,7 @@ class MultiChipEngine:
             )
             self.num_cache = self.ds.num_node
         self.profiler.log_init("cache_build_time", time.perf_counter() - t0)
+        self.profiler.log_mem_usage("cache_build", self.devices[0])
 
         # --- model + step programs
         t0 = time.perf_counter()
@@ -248,6 +250,7 @@ class MultiChipEngine:
         )
         self._build_step_fns()
         self.profiler.log_init("model_init_time", time.perf_counter() - t0)
+        self.profiler.log_mem_usage("model_init", self.devices[0])
         return self
 
     def _derive_exchange_caps(self):

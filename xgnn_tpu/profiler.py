@@ -48,7 +48,15 @@ class Profiler:
         self._init_items = {}
         self._trace = []
         self._node_access = collections.Counter()
-        self._log_node_access = False
+        import os
+
+        from . import constants as _C
+
+        self._log_node_access = bool(
+            os.environ.get(_C.ENV_LOG_NODE_ACCESS)
+        )
+        self._prev_access: set = set()
+        self._similarity: list = []  # (num_accessed, overlap_with_prev)
 
     # --- step/epoch/init logging (reference Profiler::LogStep etc.) -------
     def log_step(self, epoch: int, step: int, item: str, value: float):
@@ -69,18 +77,87 @@ class Profiler:
         self._log_node_access = True
 
     def log_node_access(self, node_ids):
-        if self._log_node_access:
-            self._node_access.update(node_ids.tolist())
+        """Count per-node accesses and per-step similarity with the
+        previous step's accessed set (reference LogNodeAccess; similarity
+        column of profiler.cc:784-789)."""
+        if not self._log_node_access:
+            return
+        ids = node_ids.tolist()
+        self._node_access.update(ids)
+        cur = set(ids)
+        overlap = len(cur & self._prev_access) if self._prev_access else 0
+        self._similarity.append((len(cur), overlap))
+        self._prev_access = cur
 
     def node_access_frequency(self):
         return self._node_access.most_common()
 
-    def dump_node_access(self, path: str):
-        """Write per-node access frequencies, hottest first (reference
-        node-access analytics files, profiler.cc:659-795)."""
+    def dump_node_access(self, path: str, in_degrees=None, out_degrees=None):
+        """Per-node access log, hottest first: ``node access in_deg out_deg``
+        (reference ofs0, profiler.cc:754-759)."""
+        get = lambda d, n: int(d[n]) if d is not None else 0
         with open(path, "w") as f:
             for node, count in self._node_access.most_common():
-                f.write(f"{node}\t{count}\n")
+                f.write(
+                    f"{node} {count} {get(in_degrees, node)} "
+                    f"{get(out_degrees, node)}\n"
+                )
+
+    def dump_node_access_frequency(self, path: str, num_node: int):
+        """Frequency histogram with count/access prefix percentages —
+        the optimal-cache-hit curve: the access%% prefix at a given count%%
+        prefix is the best hit rate a cache of that size could achieve
+        (reference ofs1, profiler.cc:761-782)."""
+        freq_count = collections.Counter(self._node_access.values())
+        access_sum = sum(self._node_access.values()) or 1
+        count_prefix = access_prefix = 0.0
+        with open(path, "w") as f:
+            for freq, count in sorted(freq_count.items(), reverse=True):
+                count_pct = count / max(num_node, 1)
+                count_prefix += count_pct
+                access = freq * count
+                access_pct = access / access_sum
+                access_prefix += access_pct
+                f.write(
+                    f"{freq} {count} {count_pct:.6f} {count_prefix:.6f} "
+                    f"{access} {access_pct:.6f} {access_prefix:.6f}\n"
+                )
+
+    def optimal_cache_hit_rate(self, cache_percentage: float, num_node: int):
+        """Best achievable hit rate caching the hottest
+        ``cache_percentage`` of nodes (derived from the frequency curve)."""
+        budget = int(num_node * cache_percentage)
+        total = sum(self._node_access.values()) or 1
+        hit = sum(c for _, c in self._node_access.most_common(budget))
+        return hit / total
+
+    def dump_node_access_similarity(self, path: str):
+        """Per-step overlap with the previous step's accessed node set
+        (reference ofs2, profiler.cc:784-789)."""
+        with open(path, "w") as f:
+            for i, (n, overlap) in enumerate(self._similarity):
+                f.write(f"{i} {n} {overlap} {overlap / max(n, 1):.6f}\n")
+
+    # --- memory accounting (reference LOG_MEM_USAGE, dist_engine.cc:54-67) -
+    def log_mem_usage(self, tag: str, device=None):
+        """Snapshot device HBM usage at an init phase boundary.  Stored as
+        init items ``mem:{tag}:{bytes_in_use,peak_bytes_in_use}`` (MB)."""
+        import jax
+
+        dev = device or jax.devices()[0]
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:  # backends without memory_stats (CPU)
+            pass
+        mb = 1024 * 1024
+        self.log_init(
+            f"mem:{tag}:bytes_in_use", stats.get("bytes_in_use", 0) / mb
+        )
+        self.log_init(
+            f"mem:{tag}:peak_bytes_in_use",
+            stats.get("peak_bytes_in_use", 0) / mb,
+        )
 
     # --- trace events (reference TraceItem + DumpTrace) -------------------
     def trace_begin(self, epoch: int, step: int, stage: str):
