@@ -52,7 +52,7 @@ def main():
         config = RunConfig(
             batch_size=args.batch_size, fanout=(10, 5), num_layer=2,
             num_hidden=128, model="graphsage", num_worker=w,
-            use_dist_graph=True, part_cache=True,
+            use_dist_graph=True, part_cache=True, cache_percentage=1.0,
             num_epoch=args.epochs, root_path="/tmp",
         )
         eng = MultiChipEngine(ds, config).init()
@@ -61,11 +61,23 @@ def main():
         t = min(times) if times else float("nan")
         rows.append((w, t))
         print(f"test_result:scaling:{w}_workers_epoch_time={t:.4f}")
+    effs = {}
     if len(rows) > 1:
         t1 = rows[0][1] * rows[0][0]
         for w, t in rows[1:]:
-            eff = t1 / (t * w)
-            print(f"test_result:scaling:{w}_workers_efficiency={eff:.3f}")
+            effs[w] = t1 / (t * w)
+            print(f"test_result:scaling:{w}_workers_efficiency={effs[w]:.3f}")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.tsv"
+    )
+    mode = "cpu_mesh" if args.cpu_mesh else "tpu"
+    with open(out, "a") as f:
+        for w, t in rows:
+            f.write(
+                f"{mode}\t{w}\t{t:.4f}\t{effs.get(w, 1.0):.3f}\t"
+                f"nodes={args.nodes} batch={args.batch_size}\n"
+            )
+    print(f"# appended {len(rows)} rows to {out}")
 
 
 if __name__ == "__main__":

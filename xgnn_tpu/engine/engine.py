@@ -178,12 +178,19 @@ class Engine:
             if cfg.cache_policy == CachePolicy.DYNAMIC
             else TieredFeatureSource
         )
+        # sync-free fixed miss bucket sized to the expected miss fraction
+        # (grown on overflow); kills the per-step scalar device→host syncs
+        miss_frac = min(1.0, 1.25 * (1.0 - cfg.cache_percentage))
+        miss_cap = max(
+            int(self.sampler.capacities[-1] * miss_frac), C.CAPACITY_ALIGN
+        )
         self.feature_source = cls(
             self.ds.feat,
             ranking,
             cfg.cache_percentage,
             self.device,
             self.feat_dtype,
+            miss_cap=miss_cap,
         )
         if cfg.cache_policy == CachePolicy.DYNAMIC:
             self._dyn_freq = jnp.zeros((self.graph.num_node,), jnp.int32)
@@ -250,6 +257,7 @@ class Engine:
         )
 
         losses, accs, overflows, num_inputs = [], [], [], []
+        hits, misses = [], []
         t_epoch = time.perf_counter()
         drop_base = jax.random.fold_in(self._dropout_key, epoch)
         try:
@@ -260,9 +268,14 @@ class Engine:
                 if cfg.dump_trace:
                     prof.trace_begin(epoch, step, "train")
                 t0 = time.perf_counter()
+                skip = batch.overflow
+                if info.get("overflow") is not None:
+                    # sync-free tiered store: miss-bucket overflow poisons
+                    # the combined features → skip the update on device
+                    skip = skip | info["overflow"]
                 self.state, metrics = self._train_step(
                     self.state, batch.blocks, x, labels, batch.num_output,
-                    k_drop, batch.overflow,
+                    k_drop, skip,
                 )
                 if not cfg.pipeline:
                     jax.block_until_ready(metrics["loss"])
@@ -272,11 +285,17 @@ class Engine:
                 prof.log_step(epoch, step, P.L1_SAMPLE_TIME, t_sample)
                 prof.log_step(epoch, step, P.L1_COPY_TIME, t_extract)
                 prof.log_step(epoch, step, P.L1_TRAIN_TIME, t_train)
-                prof.log_step(epoch, step, P.L2_CACHE_HIT_RATE, info["hit_rate"])
+                if info.get("hit_rate") is not None:
+                    prof.log_step(
+                        epoch, step, P.L2_CACHE_HIT_RATE, info["hit_rate"]
+                    )
+                else:
+                    hits.append(info["num_hit"])
+                    misses.append(info["num_miss"])
                 prof.log_step(epoch, step, P.L1_MISS_BYTES, info["miss_bytes"])
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
-                overflows.append(batch.overflow)
+                overflows.append(skip)
                 num_inputs.append(batch.num_input)
         finally:
             # stop the producer thread even if the train loop raises — it
@@ -285,17 +304,23 @@ class Engine:
                 stream.close()
         # ONE device->host pull for the whole epoch's metrics
         if losses:
-            stats = np.asarray(
-                jnp.stack(
-                    [
-                        jnp.stack(losses),
-                        jnp.stack(accs),
-                        jnp.stack(overflows).astype(jnp.float32),
-                        jnp.stack(num_inputs).astype(jnp.float32),
-                    ]
-                )
-            )
-            loss_v, acc_v, over_v, nin_v = stats
+            cols = [
+                jnp.stack(losses),
+                jnp.stack(accs),
+                jnp.stack(overflows).astype(jnp.float32),
+                jnp.stack(num_inputs).astype(jnp.float32),
+            ]
+            if hits:
+                cols.append(jnp.stack(hits).astype(jnp.float32))
+                cols.append(jnp.stack(misses).astype(jnp.float32))
+            stats = np.asarray(jnp.stack(cols))
+            loss_v, acc_v, over_v, nin_v = stats[:4]
+            if hits:
+                h_sum, m_sum = stats[4].sum(), stats[5].sum()
+                hit_rate = float(h_sum / max(h_sum + m_sum, 1.0))
+                prof.log_step(epoch, 0, P.L2_CACHE_HIT_RATE, hit_rate)
+                if stats[5].max() > self.feature_source.miss_cap:
+                    self.feature_source.grow_miss_cap()
             for step in range(len(losses)):
                 prof.log_step(epoch, step, P.L1_NUM_NODE, float(nin_v[step]))
             n_over = int(over_v.sum())

@@ -74,7 +74,21 @@ class HBMFeatureSource(FeatureSource):
 
 
 class TieredFeatureSource(FeatureSource):
-    """HBM hot-row cache + host-RAM cold store."""
+    """HBM hot-row cache + host-RAM cold store.
+
+    Two miss-path modes:
+
+    - **sync-free fixed bucket** (``miss_cap`` set, the default via
+      ``for_config``): every step pulls exactly ``miss_cap`` compacted miss
+      ids (one D2H), gathers that fixed bucket from host RAM, and scatters it
+      back — no scalar ``num_miss``/``num_hit`` device→host syncs; hit/miss
+      counts stay on device for the engine to pull once per epoch.  More
+      misses than ``miss_cap`` sets the returned ``overflow`` flag (the
+      engine skips the update on device and grows the bucket).
+    - **dynamic bucket** (``miss_cap=None``): reads ``num_miss`` on the host
+      each step and sizes the gather to the next power-of-two bucket —
+      fewer gathered bytes, two extra scalar round-trips per step.
+    """
 
     def __init__(
         self,
@@ -84,7 +98,9 @@ class TieredFeatureSource(FeatureSource):
         device=None,
         dtype=None,
         host_gather=None,
+        miss_cap: int | None = None,
     ):
+        self.miss_cap = miss_cap
         num_node, self.feat_dim = feat_host.shape
         # host tier must be host-resident (one-time pull if device array)
         self.feat_host = (
@@ -152,6 +168,22 @@ class TieredFeatureSource(FeatureSource):
         cached, miss_ids, miss_pos, num_miss, num_hit = self._split(
             input_nodes, num_input
         )
+        if self.miss_cap is not None:
+            # sync-free path: ONE fixed-size D2H (the compacted miss ids),
+            # no scalar pulls; stats stay on device
+            bucket = min(self.miss_cap, input_nodes.shape[0])
+            ids_host = np.asarray(miss_ids[:bucket]).astype(np.int64)
+            ids_host = np.where(ids_host == EMPTY, -1, ids_host)
+            padded = self._host_gather(ids_host, None)
+            miss_rows = jax.device_put(jnp.asarray(padded), self.device)
+            out = self._combine(cached, miss_rows, miss_pos, num_miss)
+            return out, {
+                "hit_rate": None,  # on-device stats below
+                "num_hit": num_hit,
+                "num_miss": num_miss,
+                "overflow": num_miss > bucket,
+                "miss_bytes": bucket * self.feat_dim * padded.dtype.itemsize,
+            }
         nm = int(num_miss)  # host sync point — pipelining hides it
         # bucket ≥ nm always holds: nm ≤ cap and _bucket(nm) ≥ nm
         bucket = min(_bucket(max(nm, 1)), input_nodes.shape[0])
@@ -166,6 +198,10 @@ class TieredFeatureSource(FeatureSource):
             "hit_rate": nh / total,
             "miss_bytes": nm * self.feat_dim * padded.dtype.itemsize,
         }
+
+    def grow_miss_cap(self):
+        if self.miss_cap is not None:
+            self.miss_cap = min(self.miss_cap * 2, 1 << 24)
 
 
 class DynamicTieredFeatureSource(TieredFeatureSource):
