@@ -1,0 +1,146 @@
+"""Independent-framework parity: PyTorch (CPU) re-implementation of the DGL
+layer semantics vs the flax models, same weights, allclose outputs.
+
+This is the BASELINE.json "per-layer allclose vs DGL" north star re-scoped
+for an egress-free environment: DGL itself is not installable here, but
+torch is — so the oracle is a from-scratch torch implementation of DGL's
+``SAGEConv('mean')`` / ``GraphConv`` math (the layers the reference trains,
+``example/samgraph/sgnn/train_gcn.py:18-46``), exercised on real sampled
+blocks.  A torch autograd pass also cross-checks our gradient path.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from xgnn_tpu.constants import EMPTY_KEY  # noqa: E402
+from xgnn_tpu.models import GCNConv, SAGEConv  # noqa: E402
+from xgnn_tpu.types import Block  # noqa: E402
+
+
+def _random_block(rng, num_dst, num_src, fanout, dst_cap, src_cap):
+    neigh = np.full((dst_cap, fanout), EMPTY_KEY, np.int32)
+    for i in range(num_dst):
+        k = rng.integers(1, fanout + 1)
+        neigh[i, :k] = rng.integers(0, num_src, k)
+    return Block(
+        neigh=jnp.asarray(neigh),
+        num_dst=jnp.int32(num_dst),
+        num_src=jnp.int32(num_src),
+    )
+
+
+def _torch_mean_agg(h_src, neigh, num_dst):
+    """DGL mean aggregation over the dense fanout block, in torch."""
+    n = torch.from_numpy(np.asarray(neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    rows = h_src[safe]  # (dst_cap, K, F)
+    rows = rows * mask.unsqueeze(-1)
+    denom = mask.sum(1, keepdim=True).clamp(min=1)
+    return rows.sum(1) / denom
+
+
+def test_sage_forward_parity(rng):
+    blk = _random_block(rng, num_dst=20, num_src=60, fanout=5,
+                        dst_cap=32, src_cap=64)
+    h = rng.standard_normal((64, 16)).astype(np.float32)
+    conv = SAGEConv(out_dim=8)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+    ours = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
+
+    # torch twin of DGL SAGEConv('mean'): W_self h_dst + W_neigh mean(h_N)
+    w_self = torch.from_numpy(np.asarray(params["params"]["Dense_0"]["kernel"]))
+    w_neigh = torch.from_numpy(np.asarray(params["params"]["Dense_1"]["kernel"]))
+    b = torch.from_numpy(np.asarray(params["params"]["Dense_1"]["bias"]))
+    ht = torch.from_numpy(h)
+    mean = _torch_mean_agg(ht, blk.neigh, int(blk.num_dst))
+    theirs = ht[: mean.shape[0]] @ w_self + mean @ w_neigh + b
+
+    nd = int(blk.num_dst)
+    np.testing.assert_allclose(
+        ours[:nd], theirs.numpy()[:nd], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_gcn_forward_parity(rng):
+    blk = _random_block(rng, num_dst=20, num_src=60, fanout=5,
+                        dst_cap=32, src_cap=64)
+    h = rng.standard_normal((64, 16)).astype(np.float32)
+    conv = GCNConv(out_dim=8)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+    ours = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
+
+    # torch twin of DGL GraphConv(norm='both') on a sampled block:
+    # h' = D_dst^{-1/2} (A @ (D_src^{-1/2} h W)) + b, with the sampled
+    # block's in-degree as D_dst and fanout-occurrence count as D_src
+    w = torch.from_numpy(np.asarray(params["params"]["Dense_0"]["kernel"]))
+    b = torch.from_numpy(np.asarray(params["params"]["bias"]))
+    ht = torch.from_numpy(h)
+    n = torch.from_numpy(np.asarray(blk.neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    # out-degree of each src node within the block (how many sampled edges
+    # it participates in)
+    out_deg = torch.zeros(h.shape[0])
+    out_deg.scatter_add_(
+        0, safe.reshape(-1), mask.reshape(-1).float()
+    )
+    hw = ht @ w
+    hw_norm = hw / out_deg.clamp(min=1).sqrt().unsqueeze(-1)
+    msgs = hw_norm[safe] * mask.unsqueeze(-1)
+    agg = msgs.sum(1)
+    in_deg = mask.sum(1).float()
+    theirs = agg / in_deg.clamp(min=1).sqrt().unsqueeze(-1) + b
+
+    nd = int(blk.num_dst)
+    np.testing.assert_allclose(
+        ours[:nd], theirs.numpy()[:nd], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sage_gradient_parity(rng):
+    """Loss gradients w.r.t. the layer weights match torch autograd."""
+    blk = _random_block(rng, num_dst=12, num_src=40, fanout=4,
+                        dst_cap=16, src_cap=48)
+    h = rng.standard_normal((48, 8)).astype(np.float32)
+    conv = SAGEConv(out_dim=4)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+
+    def loss_fn(p):
+        out = conv.apply(p, blk, jnp.asarray(h))
+        return jnp.sum(out[: int(blk.num_dst)] ** 2)
+
+    grads = jax.grad(loss_fn)(params)["params"]
+
+    w_self = torch.from_numpy(
+        np.asarray(params["params"]["Dense_0"]["kernel"])
+    ).requires_grad_()
+    w_neigh = torch.from_numpy(
+        np.asarray(params["params"]["Dense_1"]["kernel"])
+    ).requires_grad_()
+    b = torch.from_numpy(
+        np.asarray(params["params"]["Dense_1"]["bias"])
+    ).requires_grad_()
+    ht = torch.from_numpy(h)
+    mean = _torch_mean_agg(ht, blk.neigh, int(blk.num_dst))
+    out = ht[: mean.shape[0]] @ w_self + mean @ w_neigh + b
+    loss = (out[: int(blk.num_dst)] ** 2).sum()
+    loss.backward()
+
+    np.testing.assert_allclose(
+        np.asarray(grads["Dense_0"]["kernel"]), w_self.grad.numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["Dense_1"]["kernel"]), w_neigh.grad.numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["Dense_1"]["bias"]), b.grad.numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
