@@ -74,6 +74,33 @@ def test_disagg_engine_2x2_learns(learn_ds):
     assert np.isfinite(acc) and acc > 0.0
 
 
+def test_balance_switcher_rerole(learn_ds):
+    """Epoch-boundary sampler/trainer re-role (balance_switcher analog,
+    example/samgraph/balance_switcher/): state survives the re-role and
+    training continues."""
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=32,
+        model="graphsage", sample_type="khop3", lr=0.01, root_path="/tmp",
+        num_sample_worker=2, num_train_worker=2, arch="disaggregated",
+        num_epoch=3, pipeline=False, balance_switcher=True,
+    )
+    eng = DisaggregatedEngine(learn_ds, config).init()
+    r0 = eng.train_epoch(0)
+    step_before = int(np.asarray(jax.tree.leaves(eng.state.step)[0]))
+    eng._rebalance(1, 3)  # shrink samplers, grow trainers
+    assert len(eng.feature_sources) == 3
+    assert len(eng.svc.devices) == 1
+    step_after = int(np.asarray(jax.tree.leaves(eng.state.step)[0]))
+    assert step_after == step_before  # optimizer state carried over
+    r1 = eng.train_epoch(1)
+    assert np.isfinite(r1["loss"])
+    eng._rebalance(3, 1)  # and back the other way
+    r2 = eng.train_epoch(2)
+    assert np.isfinite(r2["loss"])
+
+
 def test_disagg_engine_presample_cache(small_ds):
     """pre_sample cache policy rides sampler chip 0 (arch5 presample)."""
     from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine

@@ -95,6 +95,12 @@ class RunConfig:
     num_worker: int = 1  # data-parallel chips (reference num_worker, arch6)
     num_sample_worker: int = 1  # disaggregated mode only (reference arch5)
     num_train_worker: int = 1
+    # adaptive sampler/trainer re-role at epoch boundaries (the
+    # balance_switcher analog, example/samgraph/balance_switcher/: there a
+    # sampler GPU joins training once its sampling work drains; on TPU the
+    # role split is re-chosen between epochs from the measured sample/train
+    # balance and the programs are rebuilt once per change)
+    balance_switcher: bool = False
     pipeline: bool = True  # overlap sample(n+1) with train(n)
     prefetch_depth: int = 2  # bounded GraphPool analog depth
 

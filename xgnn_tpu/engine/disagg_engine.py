@@ -97,6 +97,7 @@ class DisaggregatedEngine:
                     self.ds.num_node,
                 )
             ranking = build_ranking(self.ds, cfg, access_freq)
+        self._ranking = ranking
         self.feature_sources = []
         self.label_sources = []
         for dev in self.train_devices:
@@ -216,6 +217,9 @@ class DisaggregatedEngine:
                 self.profiler.log_step(
                     epoch, step, P.L1_SAMPLE_TIME, t_dispatch
                 )
+                self.profiler.log_epoch_add(
+                    epoch, "sample_dispatch", t_dispatch
+                )
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
                 overs.append(metrics["exchange_overflow"])
@@ -274,9 +278,75 @@ class DisaggregatedEngine:
             weights.append(n)
         return float(np.average(accs, weights=weights)) if accs else float("nan")
 
+    # ----------------------------------------------- balance switcher analog
+    def _rebalance(self, num_sample: int, num_train: int):
+        """Re-role chips between sampler and trainer pools (the
+        balance_switcher analog): rebuild the sampling service, per-trainer
+        stores, trainer mesh and train step; model/optimizer state carries
+        over.  Called between epochs — a one-time recompile per new split
+        (amortized by the persistent compile cache)."""
+        cfg = self.config
+        devices = list(self.sample_devices) + list(self.train_devices)
+        assert num_sample + num_train <= len(devices)
+        assert num_sample >= 1 and num_train >= 1
+        state_host = jax.tree.map(np.asarray, self.state)
+        cfg.num_sample_worker = num_sample
+        cfg.num_train_worker = num_train
+        self.sample_devices = devices[:num_sample]
+        self.train_devices = devices[num_sample : num_sample + num_train]
+        self.train_mesh = make_mesh(devices=self.train_devices)
+        self.num_trainer = num_train
+        self.svc = DisaggregatedSampler(
+            self.ds, cfg, self.sample_devices, self.svc.capacities
+        )
+        srcs, labs = [], []
+        for dev in self.train_devices:
+            if 0.0 < cfg.cache_percentage < 1.0:
+                src = TieredFeatureSource(
+                    np.asarray(self.ds.feat),
+                    self._ranking,
+                    cfg.cache_percentage,
+                    device=dev,
+                )
+            else:
+                src = HBMFeatureSource(self.ds.feat, dev)
+            srcs.append(src)
+            labs.append(LabelSource(self.ds.label, dev))
+        self.feature_sources, self.label_sources = srcs, labs
+        self.state = put_replicated(state_host, self.train_mesh)
+        self._train_step = make_disagg_train_step(
+            self.model, cfg, self.train_mesh
+        )
+        print(
+            f"balance_switcher: re-roled to {num_sample} samplers + "
+            f"{num_train} trainers"
+        )
+
+    def _maybe_rebalance(self, result: dict):
+        """Epoch-boundary heuristic: sampling-bound → grow the sampler pool,
+        train-bound → grow the trainer pool."""
+        cfg = self.config
+        sample_frac = (
+            self.profiler._epoch_items[result["epoch"]].get("sample_dispatch", 0.0)
+            / max(result["time"], 1e-9)
+        )
+        if sample_frac > 0.6 and cfg.num_train_worker > 1:
+            self._rebalance(
+                cfg.num_sample_worker + 1, cfg.num_train_worker - 1
+            )
+        elif sample_frac < 0.2 and cfg.num_sample_worker > 1:
+            self._rebalance(
+                cfg.num_sample_worker - 1, cfg.num_train_worker + 1
+            )
+
     def run(self) -> dict:
         self.init()
-        results = [self.train_epoch(e) for e in range(self.config.num_epoch)]
+        results = []
+        for e in range(self.config.num_epoch):
+            r = self.train_epoch(e)
+            results.append(r)
+            if self.config.balance_switcher and e + 1 < self.config.num_epoch:
+                self._maybe_rebalance(r)
         if self.config.report_acc:
             acc = self.evaluate("valid")
             print(f"test_result:valid_acc={acc:.4f}")
