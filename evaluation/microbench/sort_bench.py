@@ -93,6 +93,19 @@ def main():
 
     rec("scatter_compact", timeit(jax.jit(scatter_compact), ids, pos))
 
+    perm = jax.random.permutation(jax.random.key(5), n).astype(jnp.int32)
+
+    def scatter_perm(pm, v):
+        # collision-free permutation scatter (the unsort alternative)
+        return jnp.zeros(n, jnp.int32).at[pm].set(v)
+
+    rec("scatter_permutation", timeit(jax.jit(scatter_perm), perm, pos))
+
+    def gather_perm(pm, v):
+        return v[pm]
+
+    rec("gather_permutation", timeit(jax.jit(gather_perm), perm, pos))
+
     def argsort2(x):
         o = jnp.argsort(x, stable=True)
         return o

@@ -9,9 +9,13 @@ Usage: python evaluation/microbench/step_profile.py [--small]
 Writes results.tsv rows: stage \t time_ms \t notes
 """
 
+import faulthandler
 import os
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> → py traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
@@ -124,10 +128,12 @@ def main():
             gids = jax.random.randint(
                 jax.random.key(4), (caps[-1],), 0, NUM_NODE, jnp.int32
             )
-            feat_d = jnp.asarray(ds.feat)
+            # NOTE: feat must be an ARGUMENT, not a closure capture — jit
+            # treats closure arrays as constants and hauls them to the host
+            # for fingerprinting (40+ min through this environment's tunnel)
             t = timeit(
-                jax.jit(lambda i: jnp.take(feat_d, i, axis=0, mode="clip")),
-                gids, iters=5,
+                jax.jit(lambda f, i: jnp.take(f, i, axis=0, mode="clip")),
+                ds.feat, gids, iters=5,
             )
             gbs = caps[-1] * 128 * 4 * 2 / t / 1e9
             rec("extract_gather", t * 1e3, f"{gbs:.0f} GB/s eff (rw)")

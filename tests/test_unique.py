@@ -106,3 +106,27 @@ def test_unique_seeded_matches_oracle():
             assert local[i] == EMPTY_KEY
         else:
             assert uids[local[i]] == v
+
+
+def test_unique_seeded_packed_equivalent():
+    """The packed-key variant is bit-identical to unique_seeded."""
+    from xgnn_tpu.ops.unique import unique_seeded, unique_seeded_packed
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        prev_cap, n_nbr, vocab = 64, 500, 150
+        prev_valid = int(rng.integers(0, prev_cap))
+        pool = rng.choice(vocab, max(prev_valid, 1), replace=False)
+        prev = np.full(prev_cap, EMPTY_KEY, np.int32)
+        prev[:prev_valid] = pool[:prev_valid]
+        nbrs = rng.integers(0, vocab, n_nbr).astype(np.int32)
+        nbrs[rng.random(n_nbr) < 0.3] = EMPTY_KEY
+        ids = jnp.asarray(np.concatenate([prev, nbrs]))
+        cap = vocab + 8
+
+        a = jax.jit(lambda x: unique_seeded(x, prev_valid, prev_cap, cap))(ids)
+        b = jax.jit(
+            lambda x: unique_seeded_packed(x, prev_valid, prev_cap, cap)
+        )(ids)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

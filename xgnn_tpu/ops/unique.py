@@ -96,6 +96,66 @@ def _forward_fill(values: jax.Array, flags: jax.Array) -> jax.Array:
     return v
 
 
+def unique_seeded_packed(
+    ids: jax.Array, num_prev: jax.Array, prev_cap: int, out_cap: int
+):
+    """Packed-key variant of :func:`unique_seeded`: every (key, payload)
+    sort becomes ONE single-operand uint32-pair-free sort by packing key and
+    payload into disjoint bit ranges of a float64-free int64 — XLA's
+    single-key sort path is much faster than its variadic-comparator
+    multi-operand path.  Stability falls out of the packing (payload in the
+    low bits), so no stable flag is needed.
+
+    Bit budget: node ids < 2^31, positions/local ids < 2^25 (33.5M) — callers
+    with longer id vectors must use :func:`unique_seeded`.
+    """
+    n = ids.shape[0]
+    assert n < (1 << 25) and out_cap < (1 << 25), (n, out_cap)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    with jax.enable_x64(True):  # trace-local: i64 only for the packed keys
+        # sort 1: by id, position in low bits (replaces the stable 2-op sort)
+        k1 = (ids.astype(jnp.int64) << 25) | pos.astype(jnp.int64)
+        s1 = jax.lax.sort((k1,), num_keys=1)[0]
+        sid = (s1 >> 25).astype(jnp.int32)
+        spos = (s1 & ((1 << 25) - 1)).astype(jnp.int32)
+
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]]
+        ) & (sid != EMPTY)
+        num_unique = jnp.sum(is_first).astype(jnp.int32)
+
+        is_prev_first = is_first & (spos < prev_cap)
+        new_rank = (
+            jnp.cumsum(is_first & ~is_prev_first).astype(jnp.int32) - 1
+        )
+        local_first = jnp.where(is_prev_first, spos, num_prev + new_rank)
+        local_sorted = _forward_fill(
+            jnp.where(is_first, local_first, 0), is_first
+        )
+
+        # sort 2 (unsort): permutation key spos, local id in the low bits
+        k2 = (spos.astype(jnp.int64) << 25) | local_sorted.astype(jnp.int64)
+        s2 = jax.lax.sort((k2,), num_keys=1)[0]
+        local_ids = (s2 & ((1 << 25) - 1)).astype(jnp.int32)
+        local_ids = jnp.where(ids == EMPTY, EMPTY, local_ids)
+
+        # sort 3 (compaction): local id in the high bits, node id low
+        ckey = jnp.where(
+            is_first, local_first, (1 << 25) - 1
+        ).astype(jnp.int64)
+        k3 = (ckey << 31) | sid.astype(jnp.int64)
+        s3 = jax.lax.sort((k3,), num_keys=1)[0]
+        uvals = (s3 & ((1 << 31) - 1)).astype(jnp.int32)
+    if out_cap > n:
+        uvals = jnp.concatenate(
+            [uvals, jnp.full(out_cap - n, EMPTY, ids.dtype)]
+        )
+    valid_u = jnp.arange(out_cap) < jnp.minimum(num_unique, out_cap)
+    unique_ids = jnp.where(valid_u, uvals[:out_cap], EMPTY)
+    return unique_ids, num_unique, local_ids
+
+
 def unique_seeded(
     ids: jax.Array, num_prev: jax.Array, prev_cap: int, out_cap: int
 ):
