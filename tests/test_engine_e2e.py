@@ -212,3 +212,21 @@ def test_fake_optimal_cache_policy():
     engine = Engine(skewed, config).init()
     r = engine.train_epoch(0)
     assert np.isfinite(r["loss"])
+
+
+def test_presample_static_policy(learnable_ds):
+    """presample_static: frequency ranking over the all-neighbor expansion
+    (reference DoGPUSampleAllNeighbour via cuda/pre_sampler.cc:69-74)."""
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.engine import Engine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_epoch=1,
+        cache_policy="presample_static", cache_percentage=0.2,
+        presample_static_fanout=8, lr=0.01, root_path="/tmp",
+    )
+    eng = Engine(learnable_ds, config).init()
+    assert eng.feature_source.num_cache > 0
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])

@@ -118,6 +118,11 @@ class RunConfig:
     cache_policy: CachePolicy = CachePolicy.PRE_SAMPLE
     cache_percentage: float = 0.0
     presample_epoch: int = 1
+    # presample_static counts frequencies over the ALL-neighbor expansion
+    # (reference DoGPUSampleAllNeighbour, cuda/pre_sampler.cc:69-74); on TPU
+    # the expansion is truncated at this static per-node fanout (khop0 with
+    # fanout >= degree emits every neighbor exactly once)
+    presample_static_fanout: int = 32
     use_dist_graph: bool = False  # shard topology across the chip mesh
     # fraction of EDGES whose owner rows live device-resident when
     # use_dist_graph is on; the remaining nodes' adjacency stays in host RAM

@@ -168,8 +168,22 @@ class Engine:
             CachePolicy.FAKE_OPTIMAL,
         ):
             t0 = time.perf_counter()
+            sampler = self.sampler
+            if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
+                # all-neighbor expansion presample (DoGPUSampleAllNeighbour):
+                # khop0 at a wide static fanout emits every neighbor once
+                # for nodes with degree <= fanout
+                import dataclasses as _dc
+
+                scfg = _dc.replace(
+                    cfg,
+                    sample_type=SampleType.KHOP0,
+                    fanout=(cfg.presample_static_fanout,) * cfg.num_fanout,
+                    frontier_capacities=None,
+                )
+                sampler = Sampler(self.graph, scfg)
             access_freq = presample_ranking(
-                self.sampler, self.ds.train_set, cfg, self.graph.num_node
+                sampler, self.ds.train_set, cfg, self.graph.num_node
             )
             self.profiler.log_init("presample_time", time.perf_counter() - t0)
         ranking = build_ranking(self.ds, cfg, access_freq)

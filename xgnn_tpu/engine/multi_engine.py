@@ -355,6 +355,31 @@ class MultiChipEngine:
                 sizes_acc.append(sizes)
             return freq, sizes_acc
 
+        def freq_fn(capacities, seg_cap):
+            """Frequency-collection program: presample_static swaps in the
+            all-neighbor expansion (reference DoGPUSampleAllNeighbour)."""
+            if cfg.cache_policy != CachePolicy.PRE_SAMPLE_STATIC:
+                return make_presample_step(
+                    cfg, self.mesh, capacities, seg_cap,
+                    use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+                )
+            import dataclasses as _dc
+
+            scfg = _dc.replace(
+                cfg,
+                sample_type=SampleType.KHOP0,
+                fanout=(cfg.presample_static_fanout,) * cfg.num_fanout,
+                frontier_capacities=None,
+            )
+            scaps = default_capacities(
+                cfg.batch_size, _layer_fanouts(scfg), self.ds.num_node
+            )
+            return make_presample_step(
+                scfg, self.mesh, scaps,
+                max(-(-scaps[-1] // p) * 2, 128),
+                use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+            )
+
         fn = make_presample_step(
             cfg, self.mesh, self.capacities, self.seg_cap,
             use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
@@ -374,17 +399,17 @@ class MultiChipEngine:
             self._derive_exchange_caps()
             self.profiler.log_init("calibrated_input_cap", caps[-1])
             if need_freq:
-                # rebuild the presample program with tight shapes for the
-                # long run
-                fn = make_presample_step(
-                    cfg, self.mesh, self.capacities, self.seg_cap,
-                    use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
-                )
+                # rebuild the presample program with tight shapes (or the
+                # all-neighbor expansion for presample_static)
+                fn = freq_fn(self.capacities, self.seg_cap)
                 freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
                 freq, _ = run_steps(fn, None, 0, freq)
                 for e in range(1, cfg.presample_epoch):
                     freq, _ = run_steps(fn, None, e, freq)
         elif need_freq:
+            if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
+                fn = freq_fn(self.capacities, self.seg_cap)
+                freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
             freq, _ = run_steps(fn, None, 0, freq)
             for e in range(1, cfg.presample_epoch):
                 freq, _ = run_steps(fn, None, e, freq)
