@@ -406,3 +406,23 @@ def test_partitioned_weighted_sampling_validity(mesh, small_ds):
                 assert set(got.tolist()) <= ns, (v, got, ns)
                 checked += 1
     assert checked > 300
+
+
+def test_hierarchical_dcn_mesh_engine(small_ds):
+    """2x4 hierarchical mesh: store sharded within each ICI group,
+    replicated across groups; batches span all 8 chips (the
+    PartitionSolver-analog placement)."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    config = RunConfig(
+        batch_size=32, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        num_dcn_groups=2, use_dist_graph=True, part_cache=True,
+        cache_percentage=1.0, num_epoch=1, lr=0.01, root_path="/tmp",
+        frontier_capacities=None,
+    )
+    eng = MultiChipEngine(small_ds, config).init()
+    assert eng.num_parts == NUM_DEV // 2  # store shards per group
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    assert r["steps"] >= 1

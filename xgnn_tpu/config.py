@@ -93,6 +93,11 @@ class RunConfig:
     batch_size: int = 8000
     fanout: Sequence[int] = (15, 10, 5)
     num_worker: int = 1  # data-parallel chips (reference num_worker, arch6)
+    # hierarchical mesh: shard the GGMS store within each group of
+    # num_worker/num_dcn_groups chips (ICI) and replicate it across groups
+    # (DCN/multi-host) — the topology-aware-placement analog
+    # (PartitionSolver, dist_graph.cu:684-777)
+    num_dcn_groups: int = 1
     num_sample_worker: int = 1  # disaggregated mode only (reference arch5)
     num_train_worker: int = 1
     # adaptive sampler/trainer re-role at epoch boundaries (the

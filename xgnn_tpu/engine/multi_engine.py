@@ -56,7 +56,7 @@ from ..parallel.ggms import (
     build_cache,
     compute_num_cache_node,
 )
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import DATA_AXIS, DCN_AXIS, make_mesh, make_mesh_2d
 from ..sampler import Sampler, _layer_fanouts, default_capacities
 from ..train import init_state
 from ..types import Graph
@@ -99,9 +99,7 @@ class MultiChipEngine:
         assert len(self.devices) == config.num_worker, (
             f"need {config.num_worker} chips, have {len(self.devices)}"
         )
-        self.mesh = make_mesh(devices=self.devices)
         self.profiler = P.Profiler(profile_level=config.profile_level)
-        self.num_parts = config.num_worker
         # full GGMS (two-phase) iff a partial feature cache is requested;
         # cache >= 1 (or the legacy 0 = "no cache knob" default) keeps the
         # fused all-HBM path
@@ -110,6 +108,20 @@ class MultiChipEngine:
             pct == 0.0 and config.part_cache
         )
         self.two_phase = self.partial_cache
+        # hierarchical mesh: store shards span each ICI group; batches span
+        # every chip (the PartitionSolver-analog placement)
+        self.num_groups = config.num_dcn_groups
+        if self.num_groups > 1:
+            assert config.num_worker % self.num_groups == 0
+            assert not self.two_phase, (
+                "hierarchical (DCN) meshes currently drive the fused "
+                "all-HBM path"
+            )
+            self.mesh = make_mesh_2d(self.num_groups, devices=self.devices)
+        else:
+            self.mesh = make_mesh(devices=self.devices)
+        # store partition count = chips per ICI group
+        self.num_parts = config.num_worker // self.num_groups
 
     # ------------------------------------------------------------------ init
     def init(self):
@@ -294,6 +306,7 @@ class MultiChipEngine:
             self.step_fn = make_collocated_train_step(
                 self.model, cfg, self.mesh, self.capacities, self.seg_cap,
                 use_dist_graph=cfg.use_dist_graph,
+                dcn_axis=DCN_AXIS if self.num_groups > 1 else None,
             )
             self._fn_eval = None
 
@@ -306,6 +319,10 @@ class MultiChipEngine:
         DistEngine presample barrier, dist_engine.cc:453-469)."""
         cfg = self.config
         p = self.num_parts
+        if self.num_groups > 1:
+            # hierarchical mesh: fused path, default capacities (the
+            # presample/calibration programs are 1D-mesh shaped)
+            return None
         need_freq = (
             self.two_phase
             and cfg.cache_policy in _PRESAMPLE_POLICIES
@@ -463,9 +480,21 @@ class MultiChipEngine:
         misses.append(outs["num_miss"])
         return t_copy
 
+    def _put_batch(self, arr):
+        """Place a per-chip-leading host array: 1-axis sharding, or
+        (group, chip) sharding on a hierarchical mesh."""
+        from jax.sharding import PartitionSpec as PS
+
+        if self.num_groups > 1:
+            arr = np.asarray(arr).reshape(
+                (self.num_groups, self.num_parts) + arr.shape[1:]
+            )
+            return put_sharded(arr, self.mesh, spec=PS(DCN_AXIS, DATA_AXIS))
+        return put_sharded(arr, self.mesh)
+
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
-        p = self.num_parts
+        p = cfg.num_worker
         shufflers = [
             Shuffler(
                 np.asarray(self.ds.train_set), cfg.batch_size,
@@ -531,10 +560,10 @@ class MultiChipEngine:
                     self.topo,
                     self.feat_parts,
                     self.lab_parts,
-                    put_sharded(seeds, self.mesh),
-                    put_sharded(nums, self.mesh),
-                    put_sharded(keys, self.mesh),
-                    put_sharded(dkeys, self.mesh),
+                    self._put_batch(seeds),
+                    self._put_batch(nums),
+                    self._put_batch(keys),
+                    self._put_batch(dkeys),
                 )
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])

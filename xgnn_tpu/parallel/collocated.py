@@ -138,9 +138,15 @@ def make_collocated_train_step(
     seg_cap: int,
     axis_name: str = DATA_AXIS,
     use_dist_graph: bool = False,
+    dcn_axis=None,
 ):
     """Build the fused SPMD train step (100% of features/labels interleaved
     in HBM — the reference's part-cache at cache_percentage=1).
+
+    With ``dcn_axis`` set (hierarchical mesh from ``make_mesh_2d``), the
+    store shards over ``axis_name`` (ICI) and replicates across ``dcn_axis``
+    — exchange collectives stay on the fast links, gradient psums ride both
+    (the PartitionSolver-analog placement).
 
     Signature of the returned jitted fn::
 
@@ -150,6 +156,10 @@ def make_collocated_train_step(
     tx = make_optimizer(config)
     fanouts = _layer_fanouts(config)
     caps = tuple(int(c) for c in capacities)
+    grad_axes = (axis_name,) if dcn_axis is None else (dcn_axis, axis_name)
+    batch_spec = (
+        PS(axis_name) if dcn_axis is None else PS(dcn_axis, axis_name)
+    )
 
     def per_chip(state, topo, feat_part, label_part, seeds, num_seed, key, drop_key):
         seeds = seeds.reshape(-1)
@@ -175,7 +185,7 @@ def make_collocated_train_step(
         # received another request's rows, so the whole update is skipped on
         # device (the single-chip Engine's skip path, train.make_train_step)
         skip = jax.lax.pmax(
-            overflow | lab_overflow | batch.overflow, axis_name
+            overflow | lab_overflow | batch.overflow, grad_axes
         )
 
         def compute_loss(params):
@@ -188,9 +198,9 @@ def make_collocated_train_step(
         (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
         )
-        grads = jax.lax.pmean(grads, axis_name)
-        loss = jax.lax.pmean(loss, axis_name)
-        acc = jax.lax.pmean(acc, axis_name)
+        grads = jax.lax.pmean(grads, grad_axes)
+        loss = jax.lax.pmean(loss, grad_axes)
+        acc = jax.lax.pmean(acc, grad_axes)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         keep = lambda old, new: jax.tree.map(
@@ -213,13 +223,14 @@ def make_collocated_train_step(
         mesh=mesh,
         in_specs=(
             PS(),  # state (replicated)
+            # topology/store: sharded over ICI only, replicated across DCN
             PS(axis_name) if use_dist_graph else PS(),  # topology
             PS(axis_name),  # feat parts
             PS(axis_name),  # label parts
-            PS(axis_name),  # seeds
-            PS(axis_name),  # num_seeds
-            PS(axis_name),  # sample keys
-            PS(axis_name),  # dropout keys
+            batch_spec,  # seeds
+            batch_spec,  # num_seeds
+            batch_spec,  # sample keys
+            batch_spec,  # dropout keys
         ),
         out_specs=(PS(), PS()),
         check_vma=False,
@@ -514,9 +525,12 @@ def put_replicated(tree, mesh):
     return jax.tree.map(put_one, tree)
 
 
-def put_sharded(arr, mesh, axis_name: str = DATA_AXIS):
-    """Shard ``arr`` along dim 0 over the mesh (multi-process aware)."""
-    sharding = NamedSharding(mesh, PS(axis_name))
+def put_sharded(arr, mesh, axis_name: str = DATA_AXIS, spec=None):
+    """Shard ``arr`` along dim 0 over the mesh (multi-process aware).
+    ``spec`` overrides the partition spec (e.g. 2-axis batch sharding)."""
+    sharding = NamedSharding(
+        mesh, spec if spec is not None else PS(axis_name)
+    )
     if jax.process_count() == 1:
         return jax.device_put(arr, sharding)
     arr = np.asarray(arr)

@@ -18,6 +18,7 @@ from jax.sharding import Mesh
 
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(
@@ -30,3 +31,25 @@ def make_mesh(
         if num_devices is not None:
             devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(
+    num_groups: int,
+    devices: Optional[Sequence] = None,
+    axis_names: tuple = (DCN_AXIS, DATA_AXIS),
+) -> Mesh:
+    """Hierarchical (groups × chips-per-group) mesh — the TPU re-expression
+    of the reference's topology-aware placement (``PartitionSolver``,
+    dist_graph.cu:684-777): the GGMS store shards over the fast
+    intra-group axis (ICI) and replicates across the slow inter-group axis
+    (DCN/multi-host), so exchange collectives never cross the slow links
+    while gradient psums ride both.  On one host the groups are a logical
+    split (useful for validating the sharding); under multi-controller JAX
+    the group axis spans hosts."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    assert len(devices) % num_groups == 0, (len(devices), num_groups)
+    return Mesh(
+        devices.reshape(num_groups, -1), axis_names
+    )
