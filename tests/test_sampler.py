@@ -85,3 +85,51 @@ def test_sampler_deterministic(small_ds):
     )
     for x, y in zip(b1.blocks, b2.blocks):
         np.testing.assert_array_equal(np.asarray(x.neigh), np.asarray(y.neigh))
+
+
+def test_direct_extract_equivalent_logits(small_ds):
+    """gpu_extract direct mode: skipping the last-layer dedup and aggregating
+    by global id from the feature table gives IDENTICAL logits to the
+    standard dedup+extract path (same draws, same params)."""
+    import jax
+    import jax.numpy as jnp
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.constants import EMPTY_KEY
+    from xgnn_tpu.models import build_model
+    from xgnn_tpu.sampler import Sampler
+    from xgnn_tpu.types import Graph
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", root_path="/tmp",
+    )
+    graph = Graph.from_dataset(small_ds)
+    feat = jnp.asarray(small_ds.feat)
+    model = build_model(config, small_ds.feat_dim, small_ds.num_class)
+
+    s_std = Sampler(graph, config, direct_extract=False)
+    s_dir = Sampler(graph, config, capacities=s_std.capacities,
+                    direct_extract=True)
+
+    seeds = np.full(s_std.capacities[0], EMPTY_KEY, np.int32)
+    seeds[:64] = small_ds.train_set[:64]
+    key = jax.random.key(7)
+    b_std = s_std.sample(jnp.asarray(seeds), 64, key)
+    b_dir = s_dir.sample(jnp.asarray(seeds), 64, key)
+    assert b_dir.blocks[0].dst_ids is not None
+
+    x_std = jnp.take(
+        feat,
+        jnp.where(b_std.input_nodes != EMPTY_KEY, b_std.input_nodes, 0),
+        axis=0, mode="clip",
+    )
+    params = model.init(
+        {"params": jax.random.key(1), "dropout": jax.random.key(2)},
+        b_std.blocks, x_std, False,
+    )["params"]
+    out_std = model.apply({"params": params}, b_std.blocks, x_std, False)
+    out_dir = model.apply({"params": params}, b_dir.blocks, feat, False)
+    n = 64
+    np.testing.assert_allclose(
+        np.asarray(out_std)[:n], np.asarray(out_dir)[:n], rtol=1e-5, atol=1e-5
+    )

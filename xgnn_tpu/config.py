@@ -129,6 +129,13 @@ class RunConfig:
     # fanout >= degree emits every neighbor exactly once)
     presample_static_fanout: int = 32
     use_dist_graph: bool = False  # shard topology across the chip mesh
+    # direct in-device feature extraction (the reference --gpu-extract,
+    # operation.cc / dist_engine.cc:238-244, re-expressed for TPU): when the
+    # whole feature matrix is HBM-resident and the model aggregates before
+    # transforming (GraphSAGE/PinSAGE), the last sampling layer keeps global
+    # ids and the first GNN layer gathers features straight from the table —
+    # no last-layer dedup sort, no separate extract stage
+    gpu_extract: bool = True
     # fraction of EDGES whose owner rows live device-resident when
     # use_dist_graph is on; the remaining nodes' adjacency stays in host RAM
     # as the last-level partition (reference dist_graph_percentage,

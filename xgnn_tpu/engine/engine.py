@@ -93,7 +93,15 @@ class Engine:
         self.profiler.log_mem_usage("graph_load", self.device)
 
         t0 = time.perf_counter()
-        self.sampler = Sampler(self.graph, cfg)
+        # direct-extract fast path (the --gpu-extract analog): whole feature
+        # matrix HBM-resident + aggregate-first model ⇒ the last sampling
+        # layer skips dedup and the first GNN layer reads the table directly
+        self._direct = (
+            cfg.gpu_extract
+            and not (0.0 < cfg.cache_percentage < 1.0)
+            and cfg.model in ("graphsage", "pinsage")
+        )
+        self.sampler = Sampler(self.graph, cfg, direct_extract=self._direct)
         self._calibrate()
         self.profiler.log_init("sampler_build_time", time.perf_counter() - t0)
 
@@ -108,7 +116,12 @@ class Engine:
         seeds, n = self._first_batch_seeds()
         self._key, k1, k2 = jax.random.split(self._key, 3)
         batch = self.sampler.sample(seeds, n, k1)
-        x, _ = self.feature_source.extract(batch.input_nodes, batch.num_input)
+        if self._direct:
+            x = self.feature_source.feat  # the table IS the input
+        else:
+            x, _ = self.feature_source.extract(
+                batch.input_nodes, batch.num_input
+            )
         self.state = init_state(self.model, cfg, batch.blocks, x, k2)
         self._train_step = make_train_step(self.model, cfg)
         self._eval_step = make_eval_step(self.model)
@@ -145,7 +158,9 @@ class Engine:
             _align_up(int(s * C.ALLOC_SCALE), self.graph.num_node)
             for s in observed[1:]
         ]
-        self.sampler = Sampler(self.graph, cfg, caps)
+        self.sampler = Sampler(
+            self.graph, cfg, caps, direct_extract=self._direct
+        )
         self.profiler.log_init("calibrated_input_cap", caps[-1])
 
     def _build_feature_source(self):
@@ -243,7 +258,14 @@ class Engine:
         if self.config.dump_trace:
             self.profiler.trace_end(epoch, step, "sample")
             self.profiler.trace_begin(epoch, step, "copy")
-        x, info = self.feature_source.extract(batch.input_nodes, batch.num_input)
+        if self._direct:
+            x, info = self.feature_source.feat, {
+                "hit_rate": 1.0, "miss_bytes": 0,
+            }
+        else:
+            x, info = self.feature_source.extract(
+                batch.input_nodes, batch.num_input
+            )
         labels = self.label_source.extract(batch.output_nodes, batch.num_output)
         t2 = time.perf_counter()
         if self.config.dump_trace:

@@ -65,6 +65,17 @@ def masked_mean_stream(h_src: jax.Array, block: Block, weights=None):
     return s / jnp.maximum(denom, 1e-9)
 
 
+def _take_dst(block: Block, h_src: jax.Array) -> jax.Array:
+    """The dst rows of a block: prefix of ``h_src`` (local-id blocks), or a
+    gather by global id (direct-extract blocks, ``Block.dst_ids``)."""
+    if block.dst_ids is None:
+        return h_src[: block.dst_cap]
+    ids = block.dst_ids
+    safe = jnp.where(ids != C.EMPTY_KEY, ids, 0)
+    rows = jnp.take(h_src, safe, axis=0, mode="clip")
+    return rows * (ids != C.EMPTY_KEY)[:, None].astype(rows.dtype)
+
+
 class SAGEConv(nn.Module):
     """GraphSAGE mean aggregator (DGL ``SAGEConv('mean')`` semantics:
     ``W_self h_dst + W_neigh mean(h_N)``)."""
@@ -74,7 +85,7 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
-        h_dst = h_src[: block.dst_cap]
+        h_dst = _take_dst(block, h_src)
         h_neigh = masked_mean_stream(h_src, block)
         return nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(
             h_dst
@@ -90,7 +101,7 @@ class PinSAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
-        h_dst = h_src[: block.dst_cap]
+        h_dst = _take_dst(block, h_src)
         h_neigh = masked_mean_stream(h_src, block, weights=block.weights)
         return nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(
             h_dst

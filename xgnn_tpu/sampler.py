@@ -66,10 +66,12 @@ class Sampler:
         graph: Graph,
         config: RunConfig,
         capacities: Optional[Sequence[int]] = None,
+        direct_extract: bool = False,
     ):
         self.graph = graph
         self.config = config
         self.fanouts = _layer_fanouts(config)
+        self.direct_extract = direct_extract
         num_node = graph.num_node
         if capacities is None:
             capacities = config.frontier_capacities
@@ -90,6 +92,7 @@ class Sampler:
                     config.random_walk_length,
                     config.random_walk_restart_prob,
                 ),
+                direct_extract=direct_extract,
             )
         )
 
@@ -106,7 +109,10 @@ class Sampler:
             _align(int(c * factor), self.graph.num_node)
             for c in self.capacities[1:]
         ]
-        return Sampler(self.graph, self.config, caps)
+        return Sampler(
+            self.graph, self.config, caps,
+            direct_extract=self.direct_extract,
+        )
 
 
 def _sample_layer(graph: Graph, frontier, fanout, key, sample_type, rw_params):
@@ -156,18 +162,40 @@ def _sample_minibatch(
     fanouts: tuple,
     capacities: tuple,
     rw_params: tuple,
+    direct_extract: bool = False,
 ) -> SampledBatch:
     """The jitted sampling pipeline (innermost layer first, like the
-    reference's ``for layer = L-1..0`` loop, dist_loops.cc:120-355)."""
+    reference's ``for layer = L-1..0`` loop, dist_loops.cc:120-355).
+
+    ``direct_extract`` (the gpu_extract analog): the LAST layer skips
+    dedup/remap entirely — its block keeps GLOBAL neighbor ids that index
+    the HBM feature table directly inside the first GNN layer's aggregation,
+    eliminating both the dominant dedup sort and the separate extract stage
+    (measured: ~57 ms of a ~234 ms step at bench scale).  Valid only when
+    the whole feature matrix is device-resident and the first model layer
+    aggregates before transforming (GraphSAGE/PinSAGE).
+    """
     frontier = seeds
     num_frontier = num_seed
     blocks = []
     overflow = jnp.zeros((), jnp.bool_)
     for layer, fanout in enumerate(fanouts):
+        last = layer == len(fanouts) - 1
         key, k_layer = jax.random.split(key)
         nbr, weights = _sample_layer(
             graph, frontier, fanout, k_layer, sample_type, rw_params
         )
+        if direct_extract and last:
+            blocks.append(
+                Block(
+                    neigh=nbr,  # GLOBAL ids — index the feat table directly
+                    num_dst=num_frontier,
+                    num_src=jnp.asarray(graph.num_node, jnp.int32),
+                    weights=weights,
+                    dst_ids=frontier,
+                )
+            )
+            break
         ids = jnp.concatenate([frontier, nbr.reshape(-1)])
         out_cap = capacities[layer + 1]
         uids, num_unique, local = unique.unique_seeded(

@@ -86,6 +86,11 @@ class Block:
     num_dst: jax.Array  # scalar int32 — valid dst rows
     num_src: jax.Array  # scalar int32 — valid src frontier entries
     weights: Optional[jax.Array] = None  # (dst_cap, fanout) f32 (PinSAGE)
+    # direct-extract mode (the gpu_extract analog): ``neigh`` holds GLOBAL
+    # node ids indexing the HBM feature table directly — no dedup/remap and
+    # no separate extract stage for this layer.  ``dst_ids`` then carries the
+    # dst rows' global ids (h_dst is no longer a prefix of h_src).
+    dst_ids: Optional[jax.Array] = None  # (dst_cap,) int32 global ids
 
     @property
     def dst_cap(self) -> int:
