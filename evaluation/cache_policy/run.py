@@ -8,7 +8,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-from evaluation.runner import run_matrix  # noqa: E402
+from evaluation.runner import cli_subset, run_matrix  # noqa: E402
 
 SMALL = "--small" in sys.argv
 NODES = "30000" if SMALL else "300000"
@@ -35,4 +35,5 @@ COLUMNS = [
 
 if __name__ == "__main__":
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.tsv")
-    run_matrix(CONFIGS, COLUMNS, out)
+    configs, append = cli_subset(CONFIGS)
+    run_matrix(configs, COLUMNS, out, append=append)

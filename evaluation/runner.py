@@ -42,18 +42,35 @@ def run_config(args: list[str], timeout: int = 1800) -> dict:
     return results
 
 
-def run_matrix(configs: dict[str, list[str]], columns: list[str], out_path: str):
+def run_matrix(
+    configs: dict[str, list[str]],
+    columns: list[str],
+    out_path: str,
+    append: bool = False,
+):
+    """``append=True`` adds rows to an existing TSV (used to finish a matrix
+    across multiple sessions of a time-boxed device)."""
     rows = []
     for name, args in configs.items():
         print(f"=== running {name}: {' '.join(args)}", flush=True)
         res = run_config(args)
         rows.append((name, res))
         print(f"    -> { {c: res.get(c) for c in columns} }", flush=True)
-    with open(out_path, "w") as f:
-        f.write("name\t" + "\t".join(columns) + "\n")
+    header = not (append and os.path.exists(out_path))
+    with open(out_path, "a" if append else "w") as f:
+        if header:
+            f.write("name\t" + "\t".join(columns) + "\n")
         for name, res in rows:
             f.write(
                 name + "\t" + "\t".join(str(res.get(c, "")) for c in columns) + "\n"
             )
     print(f"wrote {out_path}")
     return rows
+
+
+def cli_subset(configs: dict[str, list[str]]) -> tuple[dict, bool]:
+    """Parse ``--only a,b,c`` from argv: returns (subset, append_mode)."""
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        return {n: configs[n] for n in names}, True
+    return configs, False

@@ -69,11 +69,17 @@ def parse_args():
     p.add_argument("--validate-configs", action="store_true",
                    help="exit after printing the resolved config")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (leave the TPU untouched)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from xgnn_tpu import RunConfig
     from xgnn_tpu.engine import Engine
 
