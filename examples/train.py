@@ -71,6 +71,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leave the TPU untouched)")
+    p.add_argument("--agg-impl", default=None, choices=["loop", "tiled"],
+                   help="fanout-aggregation formulation (see PERF.md)")
     return p.parse_args()
 
 
@@ -90,10 +92,14 @@ def main():
     if args.model == "pinsage":
         args.sample_type = "random_walk"
 
+    extra = {}
+    if args.agg_impl is not None:
+        extra["agg_impl"] = args.agg_impl
     config = RunConfig(
         model=args.model,
         dataset=args.dataset,
         root_path=args.root_path,
+        **extra,
         sample_type=args.sample_type,
         fanout=tuple(args.fanout),
         num_layer=len(args.fanout),

@@ -222,3 +222,36 @@ def test_gat_full_graph_inference_oracle(tiny_ds):
             a = np.exp(e - e.max()); a /= a.sum()
             exp = (feat[ns, hd] * a[:, None]).sum(0)
             np.testing.assert_allclose(out[v, hd], exp, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("conv", ["graphsage", "gcn", "pinsage"])
+def test_agg_impl_tiled_matches_loop(rng, conv):
+    """agg_impl="tiled" (ops/fanout custom-VJP path) is numerically
+    equivalent to the unrolled-loop formulation, values and grads."""
+    blocks = [
+        make_block(rng, num_dst=20, num_src=60, fanout=5, dst_cap=32,
+                   src_cap=64, weighted=(conv == "pinsage")),
+        make_block(rng, num_dst=8, num_src=20, fanout=3, dst_cap=16,
+                   src_cap=32, weighted=(conv == "pinsage")),
+    ]
+    x = jnp.asarray(rng.normal(size=(64, 12)).astype(np.float32))
+    models = {
+        impl: GNN(conv=conv, hidden_dim=16, out_dim=5, num_layers=2,
+                  dropout=0.0, agg_impl=impl)
+        for impl in ("loop", "tiled")
+    }
+    params = models["loop"].init(
+        {"params": jax.random.key(0)}, blocks, x, False
+    )["params"]
+
+    outs, grads = {}, {}
+    for impl, m in models.items():
+        def loss(p):
+            return jnp.sum(jnp.tanh(m.apply({"params": p}, blocks, x, False)))
+        outs[impl], grads[impl] = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(outs["tiled"]), float(outs["loop"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads["tiled"]),
+                    jax.tree.leaves(grads["loop"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

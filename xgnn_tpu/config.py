@@ -118,6 +118,10 @@ class RunConfig:
     weight_decay: float = 0.0
     num_head: int = 1  # GAT
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly training
+    # fanout-aggregation formulation: "loop" = unrolled K gather+FMA passes,
+    # "tiled" = ops/fanout.fanout_reduce_tiled (scan over dst tiles, one
+    # output write, custom-VJP backward) — see PERF.md "accumulator tax"
+    agg_impl: str = "loop"
 
     # --- cache / store (GGMS analog) --------------------------------------
     cache_policy: CachePolicy = CachePolicy.PRE_SAMPLE

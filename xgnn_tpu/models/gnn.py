@@ -37,14 +37,23 @@ def gather_neigh(h_src: jax.Array, block: Block):
     return nb, mask
 
 
-def fanout_reduce(h_src: jax.Array, block: Block, weights=None):
+def fanout_reduce(h_src: jax.Array, block: Block, weights=None,
+                  impl: str = "loop"):
     """Masked (weighted) sum + count over neighbors WITHOUT materializing the
-    ``(dst, fanout, feat)`` tensor: a static unrolled loop of K row-gathers,
-    each fused by XLA into a gather+FMA.  At benchmark scale this is the
-    difference between a 400 MB and a 6 GB working set per layer.
+    full ``(dst, fanout, feat)`` tensor.
+
+    ``impl="loop"``: a static unrolled loop of K row-gathers, each fused by
+    XLA into a gather+FMA — but each pass round-trips the ``(dst, F)``
+    accumulator through HBM.  ``impl="tiled"``: scan over dst tiles with an
+    on-chip ``(tile, K, F)`` reduction and a single output write per tile
+    (:func:`xgnn_tpu.ops.fanout.fanout_reduce_tiled`) — see PERF.md.
 
     Returns ``(sum, denom)`` with ``denom = Σ mask`` (or ``Σ weights``).
     """
+    if impl == "tiled":
+        from ..ops.fanout import fanout_reduce_tiled
+
+        return fanout_reduce_tiled(h_src, block.neigh, weights)
     dst_cap, fanout = block.neigh.shape
     acc = jnp.zeros((dst_cap, h_src.shape[1]), h_src.dtype)
     denom = jnp.zeros((dst_cap, 1), h_src.dtype)
@@ -60,8 +69,9 @@ def fanout_reduce(h_src: jax.Array, block: Block, weights=None):
     return acc, denom
 
 
-def masked_mean_stream(h_src: jax.Array, block: Block, weights=None):
-    s, denom = fanout_reduce(h_src, block, weights)
+def masked_mean_stream(h_src: jax.Array, block: Block, weights=None,
+                       impl: str = "loop"):
+    s, denom = fanout_reduce(h_src, block, weights, impl)
     return s / jnp.maximum(denom, 1e-9)
 
 
@@ -82,11 +92,12 @@ class SAGEConv(nn.Module):
 
     out_dim: int
     param_dtype: Any = jnp.float32
+    agg_impl: str = "loop"
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
         h_dst = _take_dst(block, h_src)
-        h_neigh = masked_mean_stream(h_src, block)
+        h_neigh = masked_mean_stream(h_src, block, impl=self.agg_impl)
         return nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(
             h_dst
         ) + nn.Dense(self.out_dim, use_bias=True, param_dtype=self.param_dtype)(h_neigh)
@@ -98,11 +109,14 @@ class PinSAGEConv(nn.Module):
 
     out_dim: int
     param_dtype: Any = jnp.float32
+    agg_impl: str = "loop"
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
         h_dst = _take_dst(block, h_src)
-        h_neigh = masked_mean_stream(h_src, block, weights=block.weights)
+        h_neigh = masked_mean_stream(
+            h_src, block, weights=block.weights, impl=self.agg_impl
+        )
         return nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(
             h_dst
         ) + nn.Dense(self.out_dim, use_bias=True, param_dtype=self.param_dtype)(h_neigh)
@@ -116,6 +130,7 @@ class GCNConv(nn.Module):
     out_dim: int
     activation: Optional[Callable] = None
     param_dtype: Any = jnp.float32
+    agg_impl: str = "loop"
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
@@ -133,7 +148,7 @@ class GCNConv(nn.Module):
 
         h = nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(h_src)
         h = h * (1.0 / jnp.sqrt(jnp.maximum(out_deg, 1.0)))[:, None]
-        agg, _ = fanout_reduce(h, block)
+        agg, _ = fanout_reduce(h, block, impl=self.agg_impl)
         agg = agg * (1.0 / jnp.sqrt(jnp.maximum(in_deg, 1.0)))[:, None]
         agg = agg + self.param(
             "bias", nn.initializers.zeros, (self.out_dim,), self.param_dtype
@@ -213,6 +228,7 @@ class GNN(nn.Module):
     dropout: float = 0.5
     num_heads: int = 1
     compute_dtype: Any = jnp.float32
+    agg_impl: str = "loop"
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], x: jax.Array, train: bool = False):
@@ -223,6 +239,8 @@ class GNN(nn.Module):
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
             dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
             kwargs = {}
+            if conv_cls is not GATConv:
+                kwargs["agg_impl"] = self.agg_impl
             if conv_cls is GATConv:
                 # heads on hidden layers, single head for logits (DGL style)
                 kwargs["num_heads"] = 1 if i == self.num_layers - 1 else self.num_heads
@@ -249,4 +267,5 @@ def build_model(config, feat_dim: int, num_class: int) -> GNN:
         dropout=config.dropout,
         num_heads=config.num_head,
         compute_dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+        agg_impl=getattr(config, "agg_impl", "loop"),
     )
