@@ -73,6 +73,9 @@ def parse_args():
                    help="force the CPU backend (leave the TPU untouched)")
     p.add_argument("--agg-impl", default=None, choices=["loop", "tiled"],
                    help="fanout-aggregation formulation (see PERF.md)")
+    p.add_argument("--feat-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="on-device feature-table storage dtype")
     return p.parse_args()
 
 
@@ -95,6 +98,8 @@ def main():
     extra = {}
     if args.agg_impl is not None:
         extra["agg_impl"] = args.agg_impl
+    if args.feat_dtype is not None:
+        extra["feat_dtype"] = args.feat_dtype
     config = RunConfig(
         model=args.model,
         dataset=args.dataset,

@@ -230,3 +230,32 @@ def test_presample_static_policy(learnable_ds):
     assert eng.feature_source.num_cache > 0
     r = eng.train_epoch(0)
     assert np.isfinite(r["loss"])
+
+
+def test_bf16_feature_storage_learns(learnable_ds):
+    """feat_dtype="bfloat16" (half the gather bytes) still learns; also
+    exercised with the tiled aggregation and the tiered store."""
+    common = dict(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=32,
+        num_epoch=3, model="graphsage", sample_type="khop3",
+        lr=0.01, dropout=0.1, calibration_batches=2, root_path="/tmp",
+        pipeline=False, feat_dtype="bfloat16", agg_impl="tiled",
+    )
+    for cache in (0.0, 0.2):
+        cfg = RunConfig(
+            cache_percentage=cache,
+            cache_policy="degree" if cache else "pre_sample",
+            **common,
+        )
+        engine = Engine(learnable_ds, cfg).init()
+        if cache == 0.0:
+            import jax.numpy as jnp
+
+            assert engine.feature_source.feat.dtype == jnp.bfloat16
+        r0 = engine.train_epoch(0)
+        r2 = None
+        for e in (1, 2):
+            r2 = engine.train_epoch(e)
+        assert np.isfinite(r2["loss"])
+        assert r2["loss"] < r0["loss"]
+        assert r2["train_acc"] > 0.5, (cache, r2)

@@ -122,6 +122,10 @@ class RunConfig:
     # "tiled" = ops/fanout.fanout_reduce_tiled (scan over dst tiles, one
     # output write, custom-VJP backward) — see PERF.md "accumulator tax"
     agg_impl: str = "loop"
+    # on-device feature-table storage dtype: "bfloat16" halves every
+    # extract/aggregation gather byte (accumulation stays float32; see
+    # PERF.md).  The host tier keeps the dataset's dtype.
+    feat_dtype: str = "float32"
 
     # --- cache / store (GGMS analog) --------------------------------------
     cache_policy: CachePolicy = CachePolicy.PRE_SAMPLE

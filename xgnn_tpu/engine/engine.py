@@ -60,6 +60,8 @@ class Engine:
         self.ds = dataset
         self.config = config
         self.device = device
+        if feat_dtype is None and config.feat_dtype == "bfloat16":
+            feat_dtype = jnp.bfloat16
         self.feat_dtype = feat_dtype
         self.profiler = P.Profiler(profile_level=config.profile_level)
         self.graph: Optional[Graph] = None

@@ -55,13 +55,16 @@ def fanout_reduce(h_src: jax.Array, block: Block, weights=None,
 
         return fanout_reduce_tiled(h_src, block.neigh, weights)
     dst_cap, fanout = block.neigh.shape
-    acc = jnp.zeros((dst_cap, h_src.shape[1]), h_src.dtype)
-    denom = jnp.zeros((dst_cap, 1), h_src.dtype)
+    # bf16-STORED sources (feat_dtype="bfloat16"): gathers read half the
+    # bytes; the accumulator stays float32
+    acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else h_src.dtype
+    acc = jnp.zeros((dst_cap, h_src.shape[1]), acc_dt)
+    denom = jnp.zeros((dst_cap, 1), acc_dt)
     for k in range(fanout):
         col = block.neigh[:, k]
-        m = (col != C.EMPTY_KEY).astype(h_src.dtype)[:, None]
+        m = (col != C.EMPTY_KEY).astype(acc_dt)[:, None]
         if weights is not None:
-            m = m * weights[:, k].astype(h_src.dtype)[:, None]
+            m = m * weights[:, k].astype(acc_dt)[:, None]
         rows = jnp.take(h_src, jnp.where(col != C.EMPTY_KEY, col, 0), axis=0,
                         mode="clip")
         acc = acc + rows * m
@@ -135,12 +138,12 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
         mask = block.mask
-        maskf = mask.astype(h_src.dtype)
+        maskf = mask.astype(jnp.float32)  # degree counts must not round
         # block-local degrees: src out-degree via scatter-count, dst in-degree
         # via row mask sum
         idx = jnp.where(mask, block.neigh, 0)
         out_deg = (
-            jnp.zeros((h_src.shape[0],), h_src.dtype)
+            jnp.zeros((h_src.shape[0],), jnp.float32)
             .at[idx.reshape(-1)]
             .add(maskf.reshape(-1), mode="drop")
         )
@@ -233,7 +236,9 @@ class GNN(nn.Module):
     @nn.compact
     def __call__(self, blocks: Sequence[Block], x: jax.Array, train: bool = False):
         conv_cls = _CONVS[self.conv]
-        h = x.astype(self.compute_dtype)
+        # bf16-STORED features stay bf16 so the first layer's gathers read
+        # half the bytes; an up-front astype would cost a full-table pass
+        h = x if x.dtype == jnp.bfloat16 else x.astype(self.compute_dtype)
         for i in range(self.num_layers):
             if i != 0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)

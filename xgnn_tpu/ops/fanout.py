@@ -77,15 +77,21 @@ def _fwd(h_src, neigh, weights, tile):
         else None
     )
 
+    # bf16-stored sources: gather reads bf16, accumulate in f32 (on-chip
+    # cast of the gathered slab is free)
+    acc_dt = (
+        jnp.float32 if h_src.dtype == jnp.bfloat16 else h_src.dtype
+    )
+
     def body(_, inp):
         nb, w = inp
         m = nb != EMPTY
-        mf = m.astype(h_src.dtype)
+        mf = m.astype(acc_dt)
         if w is not None:
-            mf = mf * w.astype(h_src.dtype)
+            mf = mf * w.astype(acc_dt)
         idx = jnp.where(m, nb, 0)
         rows = jnp.take(h_src, idx, axis=0, mode="clip")  # (tile, K, F)
-        s = jnp.sum(rows * mf[..., None], axis=1)
+        s = jnp.sum(rows.astype(acc_dt) * mf[..., None], axis=1)
         d = jnp.sum(mf, axis=1, keepdims=True)
         return None, (s, d)
 
@@ -119,15 +125,15 @@ def _bwd(tile, res, g):
         g_h = carry
         nb, gs, gd, w = inp
         m = nb != EMPTY
-        mf = m.astype(h_src.dtype)
+        mf = m.astype(gs.dtype)
         if w is not None:
-            mf = mf * w.astype(h_src.dtype)
+            mf = mf * w.astype(gs.dtype)
         # each contributing edge row receives the dst grad scaled by its
         # mask/weight (denom does not depend on h_src — only gs flows)
         upd = gs[:, None, :] * mf[..., None]  # (t, K, F)
         idx = jnp.where(m, nb, src_cap)  # out-of-range rows drop
         g_h = g_h.at[idx.reshape(-1)].add(
-            upd.reshape(-1, upd.shape[-1]), mode="drop"
+            upd.reshape(-1, upd.shape[-1]).astype(g_h.dtype), mode="drop"
         )
         if need_w_grad:
             rows = jnp.take(
