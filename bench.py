@@ -65,6 +65,9 @@ def main():
         cache_percentage=0.0,  # feats fit in HBM on one chip
         pipeline=True,
         num_epoch=EPOCHS,
+        # A/B overrides (the driver runs the bare defaults)
+        agg_impl=os.environ.get("XGNN_BENCH_AGG", "loop"),
+        feat_dtype=os.environ.get("XGNN_BENCH_FEAT_DTYPE", "float32"),
         # pre-measured frontier capacities for this graph/fanout (saves the
         # calibration compile; overflow-grow still protects correctness)
         frontier_capacities=(BATCH, 133376, 1007360, 2449152),
