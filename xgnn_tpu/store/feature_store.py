@@ -49,6 +49,38 @@ def _gather_rows(feat, ids, num_valid):
     return jnp.take(feat, idx, axis=0, mode="clip")
 
 
+@jax.jit
+def _split_kernel(posmap, cache_feat, input_nodes, num_input):
+    """Hit/miss split: the GetMissCacheIndex stage
+    (cuda_cache_manager_device.cu:41-170) as one argsort compaction."""
+    n = input_nodes.shape[0]
+    valid = jnp.arange(n) < num_input
+    safe_ids = jnp.where(valid & (input_nodes != EMPTY), input_nodes, 0)
+    slots = posmap[safe_ids]
+    hit = valid & (slots != EMPTY)
+    miss = valid & ~hit
+    num_miss = jnp.sum(miss).astype(jnp.int32)
+    num_hit = jnp.sum(hit).astype(jnp.int32)
+    # compact miss positions to the front (stable: preserves order)
+    perm = jnp.argsort(~miss, stable=True)  # misses (True→~False) first
+    miss_pos = perm  # positions into input_nodes; first num_miss are misses
+    miss_ids = jnp.where(jnp.arange(n) < num_miss, input_nodes[miss_pos], 0)
+    # cached rows gathered immediately (overlaps with host miss gather)
+    cached = jnp.take(cache_feat, jnp.where(hit, slots, 0), axis=0, mode="clip")
+    cached = cached * hit[:, None].astype(cache_feat.dtype)
+    return cached, miss_ids, miss_pos, num_miss, num_hit
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _combine_kernel(cached, miss_rows, miss_pos, num_miss):
+    """Scatter miss rows into their original positions (CombineMissData,
+    cuda_cache_manager_device.cu:627-731)."""
+    bucket = miss_rows.shape[0]
+    n = cached.shape[0]
+    tgt = jnp.where(jnp.arange(bucket) < num_miss, miss_pos[:bucket], n)
+    return cached.at[tgt].set(miss_rows.astype(cached.dtype), mode="drop")
+
+
 class FeatureSource:
     """Interface: map device-resident node ids to device-resident features."""
 
@@ -112,11 +144,12 @@ class TieredFeatureSource(FeatureSource):
         posmap = np.full(num_node, EMPTY, np.int32)
         posmap[cache_ids] = np.arange(self.num_cache, dtype=np.int32)
         self.posmap = jax.device_put(jnp.asarray(posmap), device)
-        cache_rows = (
-            np.asarray(feat_host)[cache_ids]
-            if self.num_cache
-            else np.zeros((1, self.feat_dim), feat_host.dtype)
-        )
+        if self.num_cache:
+            from .. import clib
+
+            cache_rows = clib.gather_rows(feat_host, cache_ids)
+        else:
+            cache_rows = np.zeros((1, self.feat_dim), feat_host.dtype)
         self.cache_feat = jax.device_put(jnp.asarray(cache_rows, dtype=dtype), device)
         self.device = device
         self.dtype = dtype or self.cache_feat.dtype
@@ -130,39 +163,14 @@ class TieredFeatureSource(FeatureSource):
             )
         self._host_gather = host_gather
 
-    @functools.partial(jax.jit, static_argnums=0)
     def _split(self, input_nodes, num_input):
-        """Hit/miss split: the GetMissCacheIndex stage
-        (cuda_cache_manager_device.cu:41-170) as one argsort compaction."""
-        n = input_nodes.shape[0]
-        valid = jnp.arange(n) < num_input
-        safe_ids = jnp.where(valid & (input_nodes != EMPTY), input_nodes, 0)
-        slots = self.posmap[safe_ids]
-        hit = valid & (slots != EMPTY)
-        miss = valid & ~hit
-        num_miss = jnp.sum(miss).astype(jnp.int32)
-        num_hit = jnp.sum(hit).astype(jnp.int32)
-        # compact miss positions to the front (stable: preserves order)
-        perm = jnp.argsort(~miss, stable=True)  # misses (True→~False) first
-        miss_pos = perm  # positions into input_nodes; first num_miss are misses
-        miss_ids = jnp.where(
-            jnp.arange(n) < num_miss, input_nodes[miss_pos], 0
-        )
-        # cached rows gathered immediately (overlaps with host miss gather)
-        cached = jnp.take(
-            self.cache_feat, jnp.where(hit, slots, 0), axis=0, mode="clip"
-        )
-        cached = cached * hit[:, None].astype(self.cache_feat.dtype)
-        return cached, miss_ids, miss_pos, num_miss, num_hit
+        # posmap/cache_feat are jit ARGUMENTS, never closure constants:
+        # a captured multi-GB cache array would be hauled host-side for
+        # constant fingerprinting at trace time
+        return _split_kernel(self.posmap, self.cache_feat, input_nodes, num_input)
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _combine(self, cached, miss_rows, miss_pos, num_miss):
-        """Scatter miss rows into their original positions (CombineMissData,
-        cuda_cache_manager_device.cu:627-731)."""
-        bucket = miss_rows.shape[0]
-        n = cached.shape[0]
-        tgt = jnp.where(jnp.arange(bucket) < num_miss, miss_pos[:bucket], n)
-        return cached.at[tgt].set(miss_rows.astype(cached.dtype), mode="drop")
+        return _combine_kernel(cached, miss_rows, miss_pos, num_miss)
 
     def extract(self, input_nodes, num_input):
         cached, miss_ids, miss_pos, num_miss, num_hit = self._split(
@@ -225,9 +233,6 @@ class DynamicTieredFeatureSource(TieredFeatureSource):
             self.cache_feat = jax.device_put(
                 jnp.asarray(rows, dtype=self.dtype), self.device
             )
-        # the jitted _split closure reads self.posmap/cache_feat via static
-        # self — drop the cached trace so the new tables are picked up
-        self._split.clear_cache()
 
 
 class LabelSource:
