@@ -82,6 +82,17 @@ def parse_args():
 def main():
     args = parse_args()
     if args.cpu:
+        # virtual devices must be requested before the backend initializes:
+        # --cpu with N workers gives an N-device virtual mesh (same
+        # mechanism as tests/conftest.py)
+        need = max(
+            args.num_worker, args.num_sample_worker + args.num_train_worker
+        )
+        if need > 1:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={need}"
+            )
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -72,6 +72,10 @@ class DisaggregatedEngine:
 
     def init(self):
         cfg = self.config
+        # bf16 feature STORAGE (halves cache bytes + D2D handoff bytes)
+        self._feat_dt = (
+            jnp.bfloat16 if cfg.feat_dtype == "bfloat16" else None
+        )
         t0 = time.perf_counter()
         self.svc = DisaggregatedSampler(
             self.ds, cfg, self.sample_devices, cfg.frontier_capacities
@@ -104,10 +108,10 @@ class DisaggregatedEngine:
             if tiered:
                 src = TieredFeatureSource(
                     np.asarray(self.ds.feat), ranking, cfg.cache_percentage,
-                    device=dev,
+                    device=dev, dtype=self._feat_dt,
                 )
             else:
-                src = HBMFeatureSource(self.ds.feat, dev)
+                src = HBMFeatureSource(self.ds.feat, dev, dtype=self._feat_dt)
             self.feature_sources.append(src)
             self.label_sources.append(LabelSource(self.ds.label, dev))
         self.profiler.log_init("cache_build_time", time.perf_counter() - t0)
@@ -307,9 +311,10 @@ class DisaggregatedEngine:
                     self._ranking,
                     cfg.cache_percentage,
                     device=dev,
+                    dtype=self._feat_dt,
                 )
             else:
-                src = HBMFeatureSource(self.ds.feat, dev)
+                src = HBMFeatureSource(self.ds.feat, dev, dtype=self._feat_dt)
             srcs.append(src)
             labs.append(LabelSource(self.ds.label, dev))
         self.feature_sources, self.label_sources = srcs, labs

@@ -211,6 +211,13 @@ class MultiChipEngine:
         # --- feature store
         t0 = time.perf_counter()
         feat_host = np.asarray(self.ds.feat)
+        if cfg.feat_dtype == "bfloat16" and feat_host.dtype == np.float32:
+            # bf16 STORAGE: halves HBM-shard bytes, ICI exchange bytes, and
+            # host miss-gather H2D bytes (the accumulator stays f32 in the
+            # model — see models/gnn.fanout_reduce)
+            import ml_dtypes
+
+            feat_host = feat_host.astype(ml_dtypes.bfloat16)
         self._feat_host = feat_host
         if self.two_phase:
             from ..store import build_ranking

@@ -229,6 +229,10 @@ class Profiler:
             (L1_SAMPLE_TIME, "epoch_time:sample_total"),
             (L1_COPY_TIME, "epoch_time:copy_time"),
             (L1_TRAIN_TIME, "epoch_time:train_total"),
+            # convert_time (reference: COO→DGLBlock torch-view assembly,
+            # train_gcn.py:222-231) is identically absent here by design:
+            # dense fanout blocks feed the jitted train step directly, so
+            # the conversion stage is fused away rather than timed.
             (L1_CONVERT_TIME, "epoch_time:convert_time"),
         ):
             v = self.step_sum_per_epoch(item)

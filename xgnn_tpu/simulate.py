@@ -31,10 +31,13 @@ def hbm_ballast(gb: float, device=None) -> list[jax.Array]:
     chunks = []
     remaining = int(gb * (1 << 30))
     dev = device or jax.devices()[0]
-    while remaining > 0:
-        n = min(remaining, 1 << 30) // 4
-        chunks.append(jax.device_put(jnp.arange(n, dtype=jnp.int32), dev))
-        remaining -= n * 4
+    # generated ON device (a host device_put would move GB over the link)
+    make = jax.jit(lambda n: jnp.arange(n, dtype=jnp.int32), static_argnums=0)
+    with jax.default_device(dev):
+        while remaining > 0:
+            n = min(remaining, 1 << 30) // 4
+            chunks.append(make(n))
+            remaining -= n * 4
     for c in chunks:
         c.block_until_ready()
     return chunks
