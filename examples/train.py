@@ -69,6 +69,11 @@ def parse_args():
     p.add_argument("--validate-configs", action="store_true",
                    help="exit after printing the resolved config")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("-pl", "--profile-level", type=int, default=0,
+                   help="profiler verbosity 0-3 (reference -pl)")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="bounded prefetch queue depth (reference "
+                        "--max-sampling-jobs/--max-copying-jobs analog)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leave the TPU untouched)")
     p.add_argument("--agg-impl", default=None, choices=["loop", "tiled"],
@@ -140,6 +145,8 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         seed=args.seed,
+        profile_level=args.profile_level,
+        prefetch_depth=args.prefetch_depth,
     )
     config.print_run_config()
     if args.validate_configs:
