@@ -275,6 +275,9 @@ def test_multi_chip_engine(small_ds):
         r1 = eng.train_epoch(1)
         assert np.isfinite(r0["loss"]) and np.isfinite(r1["loss"])
         assert r0["steps"] >= 1
+        # fused-path mesh-wide evaluation
+        acc = eng.evaluate("valid", max_batches=2)
+        assert np.isfinite(acc) and 0.0 <= acc <= 1.0
 
 
 def test_multi_chip_ggms_partial_cache(learn_ds):
@@ -449,3 +452,6 @@ def test_hierarchical_dcn_mesh_engine(small_ds):
     r = eng.train_epoch(0)
     assert np.isfinite(r["loss"])
     assert r["steps"] >= 1
+    # evaluation over the hierarchical mesh
+    acc = eng.evaluate("valid", max_batches=1)
+    assert np.isfinite(acc) and 0.0 <= acc <= 1.0

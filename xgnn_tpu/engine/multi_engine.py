@@ -40,6 +40,7 @@ from ..parallel.collocated import (
     make_collocated_train_step,
     make_combine_train_step,
     make_eval_step,
+    make_fused_eval_step,
     make_presample_step,
     make_sample_split_step,
     put_replicated,
@@ -315,7 +316,11 @@ class MultiChipEngine:
                 use_dist_graph=cfg.use_dist_graph,
                 dcn_axis=DCN_AXIS if self.num_groups > 1 else None,
             )
-            self._fn_eval = None
+            self._fn_eval = make_fused_eval_step(
+                self.model, cfg, self.mesh, self.capacities, self.seg_cap,
+                use_dist_graph=cfg.use_dist_graph,
+                dcn_axis=DCN_AXIS if self.num_groups > 1 else None,
+            )
 
     # ----------------------------------------------------- presample + calib
     def _presample_and_calibrate(self) -> Optional[np.ndarray]:
@@ -635,18 +640,13 @@ class MultiChipEngine:
     # ------------------------------------------------------------- evaluate
     def evaluate(self, split: str = "valid", max_batches=None) -> float:
         """Mesh-wide evaluation over the valid/test split (reference
-        DistEngine evaluation path; requires the two-phase GGMS programs)."""
-        if not self.two_phase:
-            raise NotImplementedError(
-                "evaluate() needs the two-phase GGMS path "
-                "(set 0 < cache_percentage < 1)"
-            )
+        DistEngine evaluation path — works in both execution shapes)."""
         nodes = (
             self.ds.valid_set if split == "valid" else self.ds.test_set
         )
         if len(nodes) == 0:
             return float("nan")
-        p = self.num_parts
+        p = self.config.num_worker
         shufflers = [
             Shuffler(
                 np.asarray(nodes), self.config.batch_size,
@@ -667,17 +667,27 @@ class MultiChipEngine:
                     jax.random.fold_in(jax.random.key(123), step), p
                 )
             )
-            outs = self._fn_a(
-                self.topo, self.posmap, self.cache_parts, self.lab_parts,
-                put_sharded(seeds, self.mesh),
-                put_sharded(nums, self.mesh),
-                put_sharded(keys, self.mesh),
-            )
-            miss_ids = _to_host(outs["miss_ids"]).reshape(p, -1)
-            miss_rows = self._gather_miss_rows(miss_ids)
-            c, t = self._fn_eval(
-                params, outs, put_sharded(miss_rows, self.mesh)
-            )
+            if self.two_phase:
+                outs = self._fn_a(
+                    self.topo, self.posmap, self.cache_parts, self.lab_parts,
+                    put_sharded(seeds, self.mesh),
+                    put_sharded(nums, self.mesh),
+                    put_sharded(keys, self.mesh),
+                )
+                miss_ids = _to_host(outs["miss_ids"]).reshape(
+                    self.num_parts, -1
+                )
+                miss_rows = self._gather_miss_rows(miss_ids)
+                c, t = self._fn_eval(
+                    params, outs, put_sharded(miss_rows, self.mesh)
+                )
+            else:
+                c, t = self._fn_eval(
+                    params, self.topo, self.feat_parts, self.lab_parts,
+                    self._put_batch(seeds),
+                    self._put_batch(nums),
+                    self._put_batch(keys),
+                )
             correct += float(c)
             total += float(t)
         return correct / max(total, 1.0)
@@ -700,9 +710,7 @@ class MultiChipEngine:
         results = []
         for epoch in range(start_epoch, cfg.num_epoch):
             r = self.train_epoch(epoch)
-            if cfg.report_acc and self.two_phase and (
-                epoch % max(cfg.report_acc, 1) == 0
-            ):
+            if cfg.report_acc and epoch % max(cfg.report_acc, 1) == 0:
                 r["valid_acc"] = self.evaluate("valid")
             results.append(r)
             if ckpt and (epoch + 1) % cfg.checkpoint_every == 0:

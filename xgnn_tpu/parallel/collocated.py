@@ -424,6 +424,79 @@ def make_eval_step(model, mesh, axis_name: str = DATA_AXIS):
     return jax.jit(sharded)
 
 
+def make_fused_eval_step(
+    model,
+    config: RunConfig,
+    mesh,
+    capacities,
+    seg_cap: int,
+    axis_name: str = DATA_AXIS,
+    use_dist_graph: bool = False,
+    dcn_axis=None,
+):
+    """Forward-only fused program for the all-HBM path: sample → exchange
+    feature/label gather → forward → psum-counted accuracy (the evaluate()
+    counterpart of ``make_collocated_train_step``; reference DistEngine
+    evaluation runs the same sample+extract path with the model in eval mode).
+
+    Returned jitted fn::
+
+        (params, topo, feat_parts, label_parts, seeds, num_seeds, keys)
+            -> (correct, total)
+    """
+    fanouts = _layer_fanouts(config)
+    caps = tuple(int(c) for c in capacities)
+    count_axes = (axis_name,) if dcn_axis is None else (dcn_axis, axis_name)
+    batch_spec = (
+        PS(axis_name) if dcn_axis is None else PS(dcn_axis, axis_name)
+    )
+
+    def per_chip(params, topo, feat_part, label_part, seeds, num_seed, key):
+        seeds = seeds.reshape(-1)
+        num_seed = num_seed.reshape(())
+        key = jax.random.wrap_key_data(key.reshape(-1))
+        batch = _sample_any(
+            topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
+            axis_name, use_dist_graph, tier={},
+        )
+        x, _ = partitioned_gather(
+            _unshard(feat_part), batch.input_nodes, axis_name, seg_cap
+        )
+        labels, _ = partitioned_gather(
+            _unshard(label_part).reshape(-1, 1), batch.output_nodes,
+            axis_name, seg_cap,
+        )
+        labels = labels[:, 0]
+        logits = model.apply({"params": params}, batch.blocks, x, False)
+        mask = (
+            jnp.arange(logits.shape[0]) < batch.num_output
+        ).astype(jnp.float32)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        for ax in count_axes:
+            correct = jax.lax.psum(correct, ax)
+        total = batch.num_output.astype(jnp.float32)
+        for ax in count_axes:
+            total = jax.lax.psum(total, ax)
+        return correct, total
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(
+            PS(),
+            PS(axis_name) if use_dist_graph else PS(),
+            PS(axis_name),
+            PS(axis_name),
+            batch_spec,
+            batch_spec,
+            batch_spec,
+        ),
+        out_specs=(PS(), PS()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_presample_step(
     config: RunConfig,
     mesh,
