@@ -4,6 +4,9 @@
 set -x
 cd "$(dirname "$0")/.."
 
+echo "=== bench (current defaults) ==="
+timeout 2400 python -u bench.py 2>&1 | grep -v WARNING
+
 echo "=== overall matrix (TPU) ==="
 timeout 5400 python -u evaluation/overall/run.py 2>&1 | grep -v WARNING
 

@@ -94,6 +94,28 @@ def test_tiered_cache_e2e():
     assert np.mean(hits) > 0.3, np.mean(hits)
 
 
+def test_sync_free_miss_bucket_overflow_grows(learnable_ds):
+    """A too-small fixed miss bucket must (a) flag overflow, (b) skip the
+    poisoned updates on device, (c) grow the bucket at epoch end — the
+    sync-free analog of the reference's capacity-grow-and-retry."""
+    config = RunConfig(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
+        num_epoch=2, model="graphsage", sample_type="khop3",
+        cache_policy="degree", cache_percentage=0.2,
+        pipeline=False, calibration_batches=1, root_path="/tmp",
+    )
+    engine = Engine(learnable_ds, config).init()
+    # sabotage: shrink the bucket far below the real miss count
+    engine.feature_source.miss_cap = 128
+    r0 = engine.train_epoch(0)
+    grown = engine.feature_source.miss_cap
+    assert grown > 128, "bucket must grow after an overflowed epoch"
+    # overflowed steps are skipped (nan loss slots excluded by nanmean) but
+    # the epoch completes and a second epoch trains with the grown bucket
+    r1 = engine.train_epoch(1)
+    assert np.isfinite(r1["loss"])
+
+
 def test_pinsage_e2e(learnable_ds):
     config = RunConfig(
         batch_size=128, num_hidden=16, num_epoch=1, model="pinsage",

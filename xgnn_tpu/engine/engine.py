@@ -295,7 +295,7 @@ class Engine:
         )
 
         losses, accs, overflows, num_inputs = [], [], [], []
-        hits, misses = [], []
+        samp_overflows, hits, misses = [], [], []
         t_epoch = time.perf_counter()
         drop_base = jax.random.fold_in(self._dropout_key, epoch)
         try:
@@ -306,7 +306,8 @@ class Engine:
                 if cfg.dump_trace:
                     prof.trace_begin(epoch, step, "train")
                 t0 = time.perf_counter()
-                skip = batch.overflow
+                samp_over = batch.overflow
+                skip = samp_over
                 if info.get("overflow") is not None:
                     # sync-free tiered store: miss-bucket overflow poisons
                     # the combined features → skip the update on device
@@ -334,6 +335,7 @@ class Engine:
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
                 overflows.append(skip)
+                samp_overflows.append(samp_over)
                 num_inputs.append(batch.num_input)
         finally:
             # stop the producer thread even if the train loop raises — it
@@ -346,19 +348,21 @@ class Engine:
                 jnp.stack(losses),
                 jnp.stack(accs),
                 jnp.stack(overflows).astype(jnp.float32),
+                jnp.stack(samp_overflows).astype(jnp.float32),
                 jnp.stack(num_inputs).astype(jnp.float32),
             ]
             if hits:
                 cols.append(jnp.stack(hits).astype(jnp.float32))
                 cols.append(jnp.stack(misses).astype(jnp.float32))
             stats = np.asarray(jnp.stack(cols))
-            loss_v, acc_v, over_v, nin_v = stats[:4]
+            loss_v, acc_v, over_v, samp_over_v, nin_v = stats[:5]
             if hits:
-                h_sum, m_sum = stats[4].sum(), stats[5].sum()
+                h_sum, m_sum = stats[5].sum(), stats[6].sum()
                 hit_rate = float(h_sum / max(h_sum + m_sum, 1.0))
                 prof.log_step(epoch, 0, P.L2_CACHE_HIT_RATE, hit_rate)
-                if stats[5].max() > self.feature_source.miss_cap:
-                    self.feature_source.grow_miss_cap()
+                max_miss = stats[6].max()
+                if max_miss > self.feature_source.miss_cap:
+                    self.feature_source.grow_miss_cap(max_miss)
             for step in range(len(losses)):
                 prof.log_step(epoch, step, P.L1_NUM_NODE, float(nin_v[step]))
             n_over = int(over_v.sum())
@@ -366,9 +370,12 @@ class Engine:
                 # overflowed steps were skipped on device; grow for next epoch
                 print(
                     f"warning: {n_over} batches overflowed capacity in epoch "
-                    f"{epoch}; growing sampler capacities"
+                    f"{epoch}"
                 )
                 prof.log_step(epoch, 0, P.L3_OVERFLOW_RETRY, float(n_over))
+            if samp_over_v.sum():
+                # only a SAMPLER overflow justifies regrowing capacities (a
+                # recompile) — miss-bucket overflow is handled above
                 self.sampler = self.sampler.grow()
             loss = float(np.nanmean(loss_v))
             acc = float(np.nanmean(np.where(np.isnan(loss_v), np.nan, acc_v)))

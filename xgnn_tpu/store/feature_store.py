@@ -207,9 +207,17 @@ class TieredFeatureSource(FeatureSource):
             "miss_bytes": nm * self.feat_dim * padded.dtype.itemsize,
         }
 
-    def grow_miss_cap(self):
-        if self.miss_cap is not None:
-            self.miss_cap = min(self.miss_cap * 2, 1 << 24)
+    def grow_miss_cap(self, observed: int | None = None):
+        """Grow the fixed miss bucket after an overflowed epoch.  With an
+        observed max miss count (the engine pulls it in the once-per-epoch
+        stats sync), jump straight to the covering power-of-two bucket —
+        doubling alone could take many ruined epochs to catch up."""
+        if self.miss_cap is None:
+            return
+        target = self.miss_cap * 2
+        if observed is not None:
+            target = max(target, _bucket(int(observed)))
+        self.miss_cap = min(target, 1 << 24)
 
 
 class DynamicTieredFeatureSource(TieredFeatureSource):
