@@ -77,12 +77,14 @@ def main():
     node_rows = jax.random.randint(k2, (B,), 0, n_tiles - 1, jnp.int32)
     lanes = jax.random.randint(k3, (B, K), 0, 256, jnp.int32)
 
+    # tiles is a jit ARGUMENT everywhere: a closure-captured 0.5 GB array
+    # would be shipped inside the remote-compile request (HTTP 413)
     @jax.jit
-    def gather_rows(rows):
+    def gather_rows(tiles, rows):
         return tiles[rows]
 
     @jax.jit
-    def tile_pair_pick(node_rows, lanes):
+    def tile_pair_pick(tiles, node_rows, lanes):
         pair = jnp.concatenate(
             [tiles[node_rows], tiles[node_rows + 1]], axis=1
         )  # (B, 256)
@@ -93,22 +95,22 @@ def main():
         )
 
     @jax.jit
-    def tile_pair_taa(node_rows, lanes):
+    def tile_pair_taa(tiles, node_rows, lanes):
         pair = jnp.concatenate(
             [tiles[node_rows], tiles[node_rows + 1]], axis=1
         )
         return jnp.take_along_axis(pair, lanes, axis=1)
 
     results = []
-    t = timeit(gather_rows, rows_rand)
+    t = timeit(gather_rows, tiles, rows_rand)
     gb = B * K * 512 / 1e9
     results.append(("row_gather_random", t, f"{gb/t:.0f} GB/s"))
-    t = timeit(gather_rows, rows_mixed)
+    t = timeit(gather_rows, tiles, rows_mixed)
     results.append(("row_gather_80pct_repeat", t, f"{gb/t:.0f} GB/s-equiv"))
-    t = timeit(tile_pair_pick, node_rows, lanes)
+    t = timeit(tile_pair_pick, tiles, node_rows, lanes)
     gb2 = B * 2 * 512 / 1e9
     results.append(("tile_pair_onehot_pick", t, f"{gb2/t:.0f} GB/s"))
-    t = timeit(tile_pair_taa, node_rows, lanes)
+    t = timeit(tile_pair_taa, tiles, node_rows, lanes)
     results.append(("tile_pair_take_along_axis", t, f"{gb2/t:.0f} GB/s"))
 
     out = os.path.join(
