@@ -63,6 +63,28 @@ def loop_reduce(h_src, neigh):
     return acc, den
 
 
+def tree_reduce(h_src, neigh):
+    """Same math as loop_reduce but as a balanced add-tree of K gather
+    terms — no sequential accumulator dependence chain, so XLA may fuse
+    all K gathers into ONE kernel (one output write instead of K
+    accumulator round-trips)."""
+    dst, k = neigh.shape
+    terms, dens = [], []
+    for j in range(k):
+        col = neigh[:, j]
+        m = (col != EMPTY).astype(h_src.dtype)[:, None]
+        rows = jnp.take(h_src, jnp.where(col != EMPTY, col, 0), axis=0,
+                        mode="clip")
+        terms.append(rows * m)
+        dens.append(m)
+    while len(terms) > 1:
+        odd_t = [terms[-1]] if len(terms) % 2 else []
+        odd_d = [dens[-1]] if len(dens) % 2 else []
+        terms = [a + b for a, b in zip(terms[::2], terms[1::2])] + odd_t
+        dens = [a + b for a, b in zip(dens[::2], dens[1::2])] + odd_d
+    return terms[0], dens[0]
+
+
 def mater_reduce(h_src, neigh):
     m = neigh != EMPTY
     idx = jnp.where(m, neigh, 0)
@@ -81,6 +103,7 @@ def run_shape(dst, k, src, f=128, tile=2048):
         scale = 0.5 if dt == jnp.bfloat16 else 1.0
         for name, fn in (
             ("loop", loop_reduce),
+            ("tree", tree_reduce),
             ("tiled", lambda h, n: fanout_reduce_tiled(h, n, None, tile)),
             ("mater", mater_reduce),
         ):
