@@ -63,6 +63,10 @@ def parse_args():
     p.add_argument("--part-cache", action="store_true", default=False)
     p.add_argument("--pipeline", action="store_true", default=False)
     p.add_argument("--no-pipeline", dest="pipeline", action="store_false")
+    p.add_argument("--device-loop", action="store_true", default=False,
+                   help="fuse the whole epoch into one lax.scan device "
+                        "program (all-HBM feature path only; zero host "
+                        "dispatches between steps)")
     p.add_argument("--report-acc", type=int, default=0)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
@@ -141,6 +145,7 @@ def main():
         cache_percentage=args.cache_percentage,
         presample_epoch=args.presample_epoch,
         pipeline=args.pipeline,
+        device_loop=args.device_loop,
         report_acc=args.report_acc,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

@@ -65,6 +65,48 @@ def test_pipeline_matches_sync(learnable_ds):
     np.testing.assert_allclose(r_sync["loss"], r_pipe["loss"], rtol=1e-4)
 
 
+def test_device_loop_matches_host_loop(learnable_ds):
+    """The fused lax.scan epoch (device_loop) replicates the host loop's
+    key folding and shuffle order, so its per-epoch metrics must match the
+    host-driven loop bit-for-bit (up to float reassociation)."""
+    common = dict(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
+        num_epoch=2, model="graphsage", cache_percentage=0.0,
+        lr=0.01, dropout=0.1, calibration_batches=1, root_path="/tmp",
+        pipeline=False,
+    )
+    e_host = Engine(learnable_ds, RunConfig(device_loop=False, **common)).init()
+    e_dev = Engine(learnable_ds, RunConfig(device_loop=True, **common)).init()
+    for epoch in range(2):
+        r_host = e_host.train_epoch(epoch)
+        r_dev = e_dev.train_epoch(epoch)
+        np.testing.assert_allclose(r_host["loss"], r_dev["loss"], rtol=1e-4)
+        np.testing.assert_allclose(
+            r_host["train_acc"], r_dev["train_acc"], rtol=1e-4
+        )
+    # the non-direct path (gcn extracts by frontier ids) also fuses
+    e_gcn = Engine(
+        learnable_ds,
+        RunConfig(device_loop=True, **{**common, "model": "gcn"}),
+    ).init()
+    assert np.isfinite(e_gcn.train_epoch(0)["loss"])
+
+
+def test_device_loop_overflow_grows(learnable_ds):
+    """Sampler-capacity overflow inside the fused epoch must be flagged,
+    skip the update on device, and grow capacities at epoch end."""
+    config = RunConfig(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
+        num_epoch=2, model="graphsage", cache_percentage=0.0,
+        pipeline=False, device_loop=True, root_path="/tmp",
+        frontier_capacities=(256, 320, 320),  # far below the real frontier
+    )
+    engine = Engine(learnable_ds, config).init()
+    engine.train_epoch(0)
+    assert engine.sampler.capacities[-1] > 320
+    assert np.isfinite(engine.train_epoch(1)["loss"])
+
+
 def test_tiered_cache_e2e():
     # pure power-law graph (no homophily rewire): presample ranking must
     # exploit the degree skew

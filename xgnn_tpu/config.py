@@ -108,6 +108,13 @@ class RunConfig:
     balance_switcher: bool = False
     pipeline: bool = True  # overlap sample(n+1) with train(n)
     prefetch_depth: int = 2  # bounded GraphPool analog depth
+    # fuse the WHOLE epoch into one lax.scan device program (sample +
+    # extract + train per scan step): zero host dispatches between steps.
+    # No reference analog (its loop is host-driven by design); requires the
+    # all-HBM feature path and no per-step host-side instrumentation —
+    # the engine falls back to the host loop otherwise.  Identical numerics
+    # to the host loop (same key folding, same shuffle order).
+    device_loop: bool = False
 
     # --- model -------------------------------------------------------------
     model: str = "graphsage"

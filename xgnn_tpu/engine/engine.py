@@ -16,6 +16,7 @@ dist_engine.cc:91-700):
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -40,6 +41,60 @@ from ..train import init_state, make_eval_step, make_train_step
 from ..types import Graph
 from .pipeline import Prefetcher
 from .shuffler import Shuffler
+
+
+def _make_fused_epoch(sampler_fn, train_step, direct: bool):
+    """One jitted program for an ENTIRE epoch (``config.device_loop``):
+    ``lax.scan`` over steps, each iteration = sample → extract → train.
+    Zero host dispatches between steps — the host-driven loop pays a
+    per-step dispatch round-trip that XLA control flow does not.
+
+    ``graph``/``feat``/``label`` are jit ARGUMENTS: a closure-captured
+    device array would be embedded as a program constant and hauled
+    host-side by the compiler.  Key folding replicates the host loop
+    exactly (``fold_in(base, step)``), so both paths are numerically
+    identical given the same shuffle order."""
+    from ..store.feature_store import _gather_rows
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_program(
+        state, graph, feat, label, seeds_all, nv_all, sample_base, drop_base
+    ):
+        def body(st, xs):
+            i, seeds, nv = xs
+            batch = sampler_fn(
+                graph, seeds, nv, jax.random.fold_in(sample_base, i)
+            )
+            if direct:
+                x = feat  # the table IS the input (direct extract)
+            else:
+                x = _gather_rows(feat, batch.input_nodes, batch.num_input)
+            labels = _gather_rows(
+                label[:, None], batch.output_nodes, batch.num_output
+            )[:, 0]
+            st, m = train_step(
+                st, batch.blocks, x, labels, batch.num_output,
+                jax.random.fold_in(drop_base, i), batch.overflow,
+            )
+            return st, (
+                m["loss"],
+                m["acc"],
+                batch.overflow.astype(jnp.float32),
+                batch.num_input.astype(jnp.float32),
+            )
+
+        steps = seeds_all.shape[0]
+        xs = (jnp.arange(steps), seeds_all, nv_all)
+        return jax.lax.scan(body, state, xs)
+
+    return epoch_program
+
+
+def _nanmean(v) -> float:
+    """np.nanmean without the all-NaN RuntimeWarning (an epoch where every
+    step overflowed legitimately has no valid losses)."""
+    v = np.asarray(v)
+    return float(np.nanmean(v)) if np.isfinite(v).any() else float("nan")
 
 
 def _align_up(n: int, num_node: int) -> int:
@@ -75,6 +130,8 @@ class Engine:
         self._key = jax.random.key(config.seed)
         self._sample_key = jax.random.key(config.seed ^ 0x5A3F1E)
         self._dropout_key = jax.random.key(config.seed ^ 0xD20F00)
+        self._fused_program = None
+        self._fused_steps = -1
 
     # ------------------------------------------------------------------ init
     def init(self):
@@ -274,8 +331,70 @@ class Engine:
             self.profiler.trace_end(epoch, step, "copy")
         return batch, x, labels, info, (t1 - t0, t2 - t1)
 
+    def _fused_ok(self) -> bool:
+        """device_loop eligibility: the scan body must be pure device work —
+        all-HBM features and no per-step host-side instrumentation."""
+        return (
+            isinstance(self.feature_source, HBMFeatureSource)
+            and not self.config.dump_trace
+            and not self.config.sanity_check
+            and not self.profiler._log_node_access
+            and getattr(self, "_dyn_freq", None) is None
+        )
+
+    def _train_epoch_fused(self, epoch: int) -> dict:
+        """The ``device_loop`` epoch: one program, zero per-step dispatches."""
+        cfg = self.config
+        prof = self.profiler
+        shuffler = Shuffler(
+            self.ds.train_set, cfg.batch_size, seed=cfg.seed + 1, num_worker=1
+        )
+        steps = shuffler.num_local_step
+        seeds_np = np.empty((steps, cfg.batch_size), C.ID_DTYPE)
+        nv_np = np.empty((steps,), np.int32)
+        for s, (seeds, n) in enumerate(shuffler.epoch_batches(epoch)):
+            seeds_np[s], nv_np[s] = seeds, n
+        if self._fused_program is None or self._fused_steps != steps:
+            from ..train import make_train_step as _mts
+
+            self._fused_program = _make_fused_epoch(
+                self.sampler._fn, _mts(self.model, cfg, donate=False),
+                self._direct,
+            )
+            self._fused_steps = steps
+        t0 = time.perf_counter()
+        seeds_all = jax.device_put(jnp.asarray(seeds_np), self.device)
+        nv_all = jax.device_put(jnp.asarray(nv_np), self.device)
+        self.state, ys = self._fused_program(
+            self.state, self.graph, self.feature_source.feat,
+            self.label_source.label, seeds_all, nv_all,
+            jax.random.fold_in(self._sample_key, epoch),
+            jax.random.fold_in(self._dropout_key, epoch),
+        )
+        # ONE device->host pull; forces completion (tunnel-safe timing)
+        stats = np.asarray(jnp.stack(ys))
+        dt = time.perf_counter() - t0
+        loss_v, acc_v, over_v, nin_v = stats
+        for s in range(steps):
+            prof.log_step(epoch, s, P.L1_NUM_NODE, float(nin_v[s]))
+        n_over = int(over_v.sum())
+        if n_over:
+            print(
+                f"warning: {n_over} batches overflowed capacity in epoch "
+                f"{epoch}"
+            )
+            prof.log_step(epoch, 0, P.L3_OVERFLOW_RETRY, float(n_over))
+            self.sampler = self.sampler.grow()
+            self._fused_program = None  # capacities changed: rebuild
+        loss = _nanmean(loss_v)
+        acc = _nanmean(np.where(np.isnan(loss_v), np.nan, acc_v))
+        prof.log_epoch_add(epoch, "epoch_time", dt)
+        return {"epoch": epoch, "loss": loss, "train_acc": acc, "time": dt}
+
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
+        if cfg.device_loop and self._fused_ok():
+            return self._train_epoch_fused(epoch)
         shuffler = Shuffler(
             self.ds.train_set, cfg.batch_size, seed=cfg.seed + 1, num_worker=1
         )
@@ -377,8 +496,8 @@ class Engine:
                 # only a SAMPLER overflow justifies regrowing capacities (a
                 # recompile) — miss-bucket overflow is handled above
                 self.sampler = self.sampler.grow()
-            loss = float(np.nanmean(loss_v))
-            acc = float(np.nanmean(np.where(np.isnan(loss_v), np.nan, acc_v)))
+            loss = _nanmean(loss_v)
+            acc = _nanmean(np.where(np.isnan(loss_v), np.nan, acc_v))
         else:
             loss = acc = float("nan")
         dt = time.perf_counter() - t_epoch

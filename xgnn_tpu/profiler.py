@@ -248,7 +248,12 @@ class Profiler:
             out.get(k, 0.0)
             for k in ("epoch_time:sample_total", "epoch_time:copy_time", "epoch_time:train_total")
         ]
-        out["epoch_time:total"] = sum(times)
+        total = sum(times)
+        if total == 0.0:
+            # fused device_loop epochs have no per-stage splits — report the
+            # measured wall epoch time instead
+            total = self.epoch_average("epoch_time") or 0.0
+        out["epoch_time:total"] = total
         if extra:
             out.update(extra)
         for k, v in out.items():
