@@ -280,6 +280,32 @@ def test_multi_chip_engine(small_ds):
         assert np.isfinite(acc) and 0.0 <= acc <= 1.0
 
 
+def test_multi_chip_device_loop_matches_host(small_ds):
+    """The scanned fused epoch (device_loop) must match the host-driven
+    fused loop bit-for-bit: same seed shards, same key folding."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    common = dict(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=True, part_cache=True, cache_percentage=1.0,
+        num_epoch=2, lr=0.01, root_path="/tmp",
+    )
+    e_host = MultiChipEngine(
+        small_ds, RunConfig(device_loop=False, **common)
+    ).init()
+    e_dev = MultiChipEngine(
+        small_ds, RunConfig(device_loop=True, **common)
+    ).init()
+    for epoch in range(2):
+        r_host = e_host.train_epoch(epoch)
+        r_dev = e_dev.train_epoch(epoch)
+        np.testing.assert_allclose(r_host["loss"], r_dev["loss"], rtol=1e-4)
+        np.testing.assert_allclose(
+            r_host["train_acc"], r_dev["train_acc"], rtol=1e-4
+        )
+
+
 def test_multi_chip_ggms_partial_cache(learn_ds):
     """The composed GGMS: partial partitioned cache + host miss path +
     host topology cold tier — trains, learns, and reports a real hit rate

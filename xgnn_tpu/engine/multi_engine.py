@@ -90,6 +90,35 @@ def _to_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def _make_mc_fused_epoch(step_fn):
+    """Multi-chip ``device_loop``: scan the fused SPMD step over every step
+    of an epoch in ONE program.  All per-step host work (seed sharding,
+    key staging, program dispatch — multiplied by chip count in the host
+    loop) collapses to a single device_put + one dispatch per epoch.
+    Store arrays stay scan-invariant arguments; per-step seeds/keys carry a
+    leading step axis sharded ``PS(None, data)`` so each scan slice lands
+    pre-sharded for the inner shard_map."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_program(
+        state, topo, feat_parts, lab_parts,
+        seeds_all, nums_all, keys_all, dkeys_all,
+    ):
+        def body(st, xs):
+            st, m = step_fn(st, topo, feat_parts, lab_parts, *xs)
+            return st, (
+                m["loss"], m["acc"],
+                m["exchange_overflow"].astype(jnp.float32),
+            )
+
+        return jax.lax.scan(
+            body, state, (seeds_all, nums_all, keys_all, dkeys_all)
+        )
+
+    return epoch_program
+
+
 class MultiChipEngine:
     """Data-parallel training over all local chips on the composed GGMS."""
 
@@ -101,6 +130,8 @@ class MultiChipEngine:
             f"need {config.num_worker} chips, have {len(self.devices)}"
         )
         self.profiler = P.Profiler(profile_level=config.profile_level)
+        self._mc_epoch_program = None
+        self._mc_epoch_steps = -1
         # full GGMS (two-phase) iff a partial feature cache is requested;
         # cache >= 1 (or the legacy 0 = "no cache knob" default) keeps the
         # fused all-HBM path
@@ -504,6 +535,74 @@ class MultiChipEngine:
             return put_sharded(arr, self.mesh, spec=PS(DCN_AXIS, DATA_AXIS))
         return put_sharded(arr, self.mesh)
 
+    def _put_steps(self, arr):
+        """Place a (steps, chips, ...) host array so each scan slice lands
+        pre-sharded like ``_put_batch``'s output."""
+        from jax.sharding import PartitionSpec as PS
+
+        arr = np.asarray(arr)
+        if self.num_groups > 1:
+            arr = arr.reshape(
+                (arr.shape[0], self.num_groups, self.num_parts)
+                + arr.shape[2:]
+            )
+            return put_sharded(
+                arr, self.mesh, spec=PS(None, DCN_AXIS, DATA_AXIS)
+            )
+        return put_sharded(arr, self.mesh, spec=PS(None, DATA_AXIS))
+
+    def _train_epoch_fused(self, epoch, iters, num_steps, base_key):
+        """The ``device_loop`` epoch on the fused all-HBM path: one scanned
+        SPMD program, zero per-step host dispatches.  Key folding matches
+        the host loop exactly, so metrics are numerically identical."""
+        cfg = self.config
+        p = cfg.num_worker
+        S = num_steps
+        seeds_np = np.full((S, p, self.capacities[0]), EMPTY, C.ID_DTYPE)
+        nums_np = np.zeros((S, p), np.int32)
+        keys_np, dkeys_np = [], []
+        for s in range(S):
+            seeds_np[s], nums_np[s] = self._seed_shards(iters, p)
+            step_key = jax.random.fold_in(base_key, s)
+            keys_np.append(
+                np.asarray(jax.random.key_data(jax.random.split(step_key, p)))
+            )
+            dkeys_np.append(
+                np.asarray(jax.random.key_data(
+                    jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+                ))
+            )
+        if self._mc_epoch_program is None or self._mc_epoch_steps != S:
+            self._mc_epoch_program = _make_mc_fused_epoch(self.step_fn)
+            self._mc_epoch_steps = S
+        t0 = time.perf_counter()
+        self.state, ys = self._mc_epoch_program(
+            self.state, self.topo, self.feat_parts, self.lab_parts,
+            self._put_steps(seeds_np), self._put_steps(nums_np),
+            self._put_steps(np.stack(keys_np)),
+            self._put_steps(np.stack(dkeys_np)),
+        )
+        stats = _to_host(jnp.stack(ys))  # one pull; forces completion
+        dt = time.perf_counter() - t0
+        self.profiler.log_epoch_add(epoch, "epoch_time", dt)
+        n_over = int(stats[2].sum())
+        if n_over:
+            print(
+                f"warning: {n_over} steps hit exchange/frontier capacity in "
+                f"epoch {epoch}; growing capacities"
+            )
+            self._grow_capacities()
+        return {
+            "epoch": epoch,
+            "loss": float(np.nanmean(stats[0])) if np.isfinite(stats[0]).any()
+            else float("nan"),
+            "train_acc": float(np.nanmean(stats[1]))
+            if np.isfinite(stats[0]).any() else float("nan"),
+            "time": dt,
+            "steps": S,
+            "hit_rate": 1.0,
+        }
+
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
         p = cfg.num_worker
@@ -517,6 +616,9 @@ class MultiChipEngine:
         iters = [s.epoch_batches(epoch) for s in shufflers]
         num_steps = max(s.num_local_step for s in shufflers)
         base_key = jax.random.fold_in(jax.random.key(cfg.seed ^ 0xD1), epoch)
+
+        if cfg.device_loop and not self.two_phase:
+            return self._train_epoch_fused(epoch, iters, num_steps, base_key)
 
         losses, accs, overflows = [], [], []
         hits, misses = [], []
@@ -636,6 +738,7 @@ class MultiChipEngine:
         if self.cold_cap:
             self.cold_cap *= 2
         self._build_step_fns()
+        self._mc_epoch_program = None  # scan wraps the rebuilt step
 
     # ------------------------------------------------------------- evaluate
     def evaluate(self, split: str = "valid", max_batches=None) -> float:
