@@ -153,8 +153,13 @@ int cmd_cache_by_degree_hop(const std::string &dir) {
 #pragma omp parallel for schedule(dynamic, 4096)
     for (long v = 0; v < n; ++v) {
       if (!touched[v]) continue;
-      for (uint32_t e = indptr[v]; e < indptr[v + 1]; ++e)
-        next[indices[e]] = 1;
+      for (uint32_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        // concurrent same-value stores from different threads are a data
+        // race under the C++ memory model; make the store atomic
+        uint8_t &slot = next[indices[e]];
+#pragma omp atomic write
+        slot = 1;
+      }
     }
     touched.swap(next);
   }

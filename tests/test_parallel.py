@@ -206,6 +206,51 @@ def test_partitioned_topology_sampling(mesh, small_ds):
     assert checked > 500
 
 
+def test_owner_sample_duplicate_requests_independent(small_ds):
+    """Duplicate requests for the SAME node must draw independently —
+    random-walk lanes parked at one node would otherwise all take the
+    identical next hop (lane collapse)."""
+    from xgnn_tpu.config import SampleType
+    from xgnn_tpu.parallel.dist_topology import (
+        LocalTopo,
+        _owner_sample,
+        partition_csr_host,
+    )
+
+    lt = partition_csr_host(small_ds.indptr, small_ds.indices, 1)
+    topo = LocalTopo(
+        jnp.asarray(lt.indptr.reshape(-1)), jnp.asarray(lt.indices.reshape(-1))
+    )
+    deg = np.diff(small_ds.indptr)
+    nodes = np.where(deg >= 8)[0][:64].astype(np.int32)
+    req = np.stack([nodes, nodes])  # every node requested TWICE
+    out = np.asarray(
+        _owner_sample(
+            topo, jnp.asarray(req.reshape(1, -1)), 4,
+            jax.random.key(0), SampleType.KHOP2,
+        )
+    ).reshape(2, len(nodes), 4)
+    differing = np.mean(np.any(out[0] != out[1], axis=1))
+    assert differing > 0.5, differing
+
+
+def test_host_cold_sampler_duplicate_requests_independent(small_ds):
+    """Same property for the host cold tier's counter-based draws."""
+    from xgnn_tpu.config import SampleType
+    from xgnn_tpu.parallel.ggms import HostColdSampler
+
+    hs = HostColdSampler(small_ds.indptr, small_ds.indices, SampleType.KHOP2)
+    deg = np.diff(small_ds.indptr)
+    nodes = np.where(deg >= 8)[0][:64].astype(np.int32)
+    ids = np.concatenate([nodes, nodes])
+    kd = np.asarray(
+        jax.random.key_data(jax.random.key(0)), dtype=np.uint32
+    )
+    out = hs(ids, kd, 4).reshape(2, len(nodes), 4)
+    differing = np.mean(np.any(out[0] != out[1], axis=1))
+    assert differing > 0.5, differing
+
+
 def test_collocated_dist_graph_step(mesh, small_ds):
     """Full GGMS config: partitioned topology + partitioned features."""
     from xgnn_tpu.parallel.dist_topology import partition_csr_host

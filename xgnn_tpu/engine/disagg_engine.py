@@ -259,7 +259,12 @@ class DisaggregatedEngine:
         if len(nodes) == 0:
             return float("nan")
         shuffler = Shuffler(np.asarray(nodes), self.config.batch_size, seed=0)
-        params = jax.tree.map(np.asarray, self.state.params)
+        # place the replicated params on trainer 0 ONCE — a per-batch
+        # host round-trip of the whole model would dominate eval time
+        params = jax.device_put(
+            jax.tree.map(np.asarray, self.state.params),
+            self.train_devices[0],
+        )
         accs, weights = [], []
         for i, (seeds, n) in enumerate(shuffler.epoch_batches(0)):
             if max_batches is not None and i >= max_batches:
@@ -275,8 +280,7 @@ class DisaggregatedEngine:
                 batch.output_nodes, batch.num_output
             )
             acc = self._eval_step(
-                jax.device_put(params, self.train_devices[0]),
-                batch.blocks, x, labels, batch.num_output,
+                params, batch.blocks, x, labels, batch.num_output,
             )
             accs.append(float(acc))
             weights.append(n)

@@ -132,13 +132,14 @@ class MultiChipEngine:
         self.profiler = P.Profiler(profile_level=config.profile_level)
         self._mc_epoch_program = None
         self._mc_epoch_steps = -1
-        # full GGMS (two-phase) iff a partial feature cache is requested;
-        # cache >= 1 (or the legacy 0 = "no cache knob" default) keeps the
-        # fused all-HBM path
+        # full GGMS (two-phase) iff a PARTIAL feature cache is requested
+        # (0 < pct < 1).  pct == 0 means "no cache knob" and pct >= 1 means
+        # everything-fits: both keep the fused all-HBM interleaved store —
+        # part_cache alone must NOT select the two-phase path, or an unset
+        # percentage would silently build an EMPTY cache and fetch 100% of
+        # features from host RAM every step
         pct = config.cache_percentage
-        self.partial_cache = 0.0 < pct < 1.0 or (
-            pct == 0.0 and config.part_cache
-        )
+        self.partial_cache = 0.0 < pct < 1.0
         self.two_phase = self.partial_cache
         # hierarchical mesh: store shards span each ICI group; batches span
         # every chip (the PartitionSolver-analog placement)
@@ -444,9 +445,14 @@ class MultiChipEngine:
             cfg, self.mesh, self.capacities, self.seg_cap,
             use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
         )
-        freq, sizes_acc = run_steps(
-            fn, max(cfg.calibration_batches, 1), 0, freq
-        )
+        sizes_acc = []
+        if need_calib:
+            # warm-up batches ONLY when calibration is wanted — their counts
+            # are discarded below (the frequency epochs re-run from step 0,
+            # so keeping them would double-count the first batches)
+            freq, sizes_acc = run_steps(
+                fn, max(cfg.calibration_batches, 1), 0, freq
+            )
         if need_calib and sizes_acc:
             # one host pull for all calibration sizes
             sizes = np.asarray(jnp.stack(sizes_acc, axis=0))
@@ -467,9 +473,10 @@ class MultiChipEngine:
                 for e in range(1, cfg.presample_epoch):
                     freq, _ = run_steps(fn, None, e, freq)
         elif need_freq:
+            # no calibration ran: freq is still zero — run the full
+            # presample epoch(s) directly
             if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
                 fn = freq_fn(self.capacities, self.seg_cap)
-                freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
             freq, _ = run_steps(fn, None, 0, freq)
             for e in range(1, cfg.presample_epoch):
                 freq, _ = run_steps(fn, None, e, freq)
@@ -762,6 +769,7 @@ class MultiChipEngine:
         if max_batches is not None:
             num_steps = min(num_steps, max_batches)
         correct = total = 0.0
+        n_over = 0
         params = self.state.params
         for step in range(num_steps):
             seeds, nums = self._seed_shards(iters, p)
@@ -781,11 +789,11 @@ class MultiChipEngine:
                     self.num_parts, -1
                 )
                 miss_rows = self._gather_miss_rows(miss_ids)
-                c, t = self._fn_eval(
+                c, t, of = self._fn_eval(
                     params, outs, put_sharded(miss_rows, self.mesh)
                 )
             else:
-                c, t = self._fn_eval(
+                c, t, of = self._fn_eval(
                     params, self.topo, self.feat_parts, self.lab_parts,
                     self._put_batch(seeds),
                     self._put_batch(nums),
@@ -793,7 +801,15 @@ class MultiChipEngine:
                 )
             correct += float(c)
             total += float(t)
-        return correct / max(total, 1.0)
+            n_over += int(np.asarray(of).max())
+        if n_over:
+            print(
+                f"warning: {n_over}/{num_steps} eval batches overflowed "
+                f"capacity and were excluded from the accuracy"
+            )
+        if total == 0.0:
+            return float("nan")
+        return correct / total
 
     # ------------------------------------------------------------------- run
     def run(self) -> dict:

@@ -73,6 +73,10 @@ def pack_batch(batch: SampledBatch) -> dict:
         out[f"nsrc{i}"] = b.num_src.reshape(1)
         if b.weights is not None:
             out[f"w{i}"] = b.weights
+        if b.dst_ids is not None:
+            # direct-extract blocks: dst_ids must round-trip, or _take_dst
+            # would silently fall back to the (wrong) h_src prefix
+            out[f"dst{i}"] = b.dst_ids
     return out
 
 
@@ -86,6 +90,7 @@ def unpack_blocks(packed: dict) -> tuple:
                 num_dst=packed[f"ndst{i}"].reshape(()),
                 num_src=packed[f"nsrc{i}"].reshape(()),
                 weights=packed.get(f"w{i}"),
+                dst_ids=packed.get(f"dst{i}"),
             )
         )
         i += 1
@@ -213,7 +218,9 @@ def make_collocated_train_step(
         )
         metrics = {
             "loss": jnp.where(skip, jnp.nan, loss),
-            "acc": acc,
+            # NaN the acc too: a skipped step's accuracy was computed from
+            # corrupt/zeroed rows and must not pollute the epoch average
+            "acc": jnp.where(skip, jnp.nan, acc),
             "exchange_overflow": skip,
         }
         return new_state, metrics
@@ -374,7 +381,9 @@ def make_combine_train_step(
         )
         metrics = {
             "loss": jnp.where(skip, jnp.nan, loss),
-            "acc": acc,
+            # NaN the acc too: a skipped step's accuracy was computed from
+            # corrupt/zeroed rows and must not pollute the epoch average
+            "acc": jnp.where(skip, jnp.nan, acc),
             "exchange_overflow": skip,
         }
         return new_state, metrics
@@ -392,8 +401,12 @@ def make_combine_train_step(
 def make_eval_step(model, mesh, axis_name: str = DATA_AXIS):
     """Forward-only B program: combine features, count correct predictions.
 
-    Returned jitted fn:: (params, packed, miss_rows) -> (correct, total)
-    (replicated scalars, psum-reduced over the mesh).
+    Returned jitted fn:: (params, packed, miss_rows)
+        -> (correct, total, overflow) (replicated scalars, psum-reduced).
+    Overflowed steps (exchange/frontier capacity anywhere on the mesh)
+    contribute ZERO to both counts — their feature/label rows are corrupt,
+    so counting them would silently skew the reported accuracy (the
+    training step skips such updates for the same reason).
     """
 
     def per_chip(params, packed, miss_rows):
@@ -406,19 +419,21 @@ def make_eval_step(model, mesh, axis_name: str = DATA_AXIS):
         blocks = unpack_blocks(packed)
         labels = packed["labels"]
         num_output = packed["num_output"].reshape(())
+        of = jax.lax.pmax(packed["overflow"].reshape(()), axis_name)
+        valid = 1.0 - of.astype(jnp.float32)
         logits = model.apply({"params": params}, blocks, x, False)
         n = logits.shape[0]
         mask = (jnp.arange(n) < num_output).astype(jnp.float32)
-        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) * valid
         correct = jax.lax.psum(correct, axis_name)
-        total = jax.lax.psum(num_output.astype(jnp.float32), axis_name)
-        return correct, total
+        total = jax.lax.psum(num_output.astype(jnp.float32) * valid, axis_name)
+        return correct, total, of
 
     sharded = shard_map(
         per_chip,
         mesh=mesh,
         in_specs=(PS(), PS(axis_name), PS(axis_name)),
-        out_specs=(PS(), PS()),
+        out_specs=(PS(), PS(), PS()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -459,25 +474,32 @@ def make_fused_eval_step(
             topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
             axis_name, use_dist_graph, tier={},
         )
-        x, _ = partitioned_gather(
+        x, x_of = partitioned_gather(
             _unshard(feat_part), batch.input_nodes, axis_name, seg_cap
         )
-        labels, _ = partitioned_gather(
+        labels, l_of = partitioned_gather(
             _unshard(label_part).reshape(-1, 1), batch.output_nodes,
             axis_name, seg_cap,
         )
         labels = labels[:, 0]
+        # overflowed slots received another request's rows: exclude the
+        # whole step from the counts (valid-set frontiers are never
+        # calibrated, so overflow here is reachable)
+        of = x_of | l_of | batch.overflow
+        for ax in count_axes:
+            of = jax.lax.pmax(of, ax)
+        valid = 1.0 - of.astype(jnp.float32)
         logits = model.apply({"params": params}, batch.blocks, x, False)
         mask = (
             jnp.arange(logits.shape[0]) < batch.num_output
         ).astype(jnp.float32)
-        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) * valid
         for ax in count_axes:
             correct = jax.lax.psum(correct, ax)
-        total = batch.num_output.astype(jnp.float32)
+        total = batch.num_output.astype(jnp.float32) * valid
         for ax in count_axes:
             total = jax.lax.psum(total, ax)
-        return correct, total
+        return correct, total, of
 
     sharded = shard_map(
         per_chip,
@@ -491,7 +513,7 @@ def make_fused_eval_step(
             batch_spec,
             batch_spec,
         ),
-        out_specs=(PS(), PS()),
+        out_specs=(PS(), PS(), PS()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -523,6 +545,11 @@ def make_presample_step(
     """
     fanouts = _layer_fanouts(config)
     caps = tuple(int(c) for c in capacities)
+    # the COUNTING exchange uses a worst-case segment (every input owned by
+    # one chip): presample runs before calibration, and dropping over-cap
+    # requests would under-count exactly the hottest nodes — the ones the
+    # ranking exists to find.  One-off cost: (P, caps[-1]) ids.
+    count_seg_cap = max(seg_cap, caps[-1])
     tier = (
         dict(
             num_cache_node=num_cache_node, host_sampler=host_sampler,
@@ -547,7 +574,7 @@ def make_presample_step(
         ids = batch.input_nodes
         valid = jnp.arange(ids.shape[0]) < batch.num_input
         masked = jnp.where(valid, ids, EMPTY)
-        send, _, _, _, _ = plan_exchange(masked, num_parts, seg_cap)
+        send, _, _, _, _ = plan_exchange(masked, num_parts, count_seg_cap)
         req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
         req = req.reshape(-1)
         ok = req != EMPTY

@@ -144,7 +144,9 @@ def make_disagg_train_step(
         )
         return new_state, {
             "loss": jnp.where(skip, jnp.nan, loss),
-            "acc": acc,
+            # NaN the acc too: a skipped step's accuracy was computed from
+            # corrupt/zeroed rows and must not pollute the epoch average
+            "acc": jnp.where(skip, jnp.nan, acc),
             "exchange_overflow": skip,
         }
 

@@ -138,17 +138,25 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type):
     """Draw K neighbors for each requested global id from local CSR rows.
 
     ``req_ids``: (P, S) global node ids owned by this chip (EMPTY padded).
-    Per-request keys derive from (key, node id): chip-independent.
+    Per-request keys derive from (key, node id, request slot): the slot term
+    decorrelates DUPLICATE requests for the same node — without it, every
+    random-walk lane parked at the same node would draw the identical next
+    hop (lane collapse; ``ops.random_walk`` draws per-lane for the same
+    reason).
     """
     num_parts = req_ids.shape[0]
     flat = req_ids.reshape(-1)
     local_rows = jnp.where(flat != EMPTY, flat // num_parts, EMPTY)
     data = jax.random.key_data(key).astype(jnp.uint32)
-    # cheap per-request key derivation: xor-fold the node id into the key
-    mixed = data[None, :] ^ (
-        jnp.where(flat != EMPTY, flat, 0).astype(jnp.uint32)[:, None]
-        * jnp.uint32(0x9E3779B9)
+    # cheap per-request key derivation: xor-fold node id + slot into the key
+    slot_mix = (
+        jnp.arange(flat.shape[0], dtype=jnp.uint32) * jnp.uint32(0x85EBCA6B)
     )
+    mixed = data[None, :] ^ (
+        jnp.where(flat != EMPTY, flat, 0).astype(jnp.uint32)
+        * jnp.uint32(0x9E3779B9)
+        ^ slot_mix
+    )[:, None]
     keys = jax.vmap(jax.random.wrap_key_data)(mixed)
 
     st = SampleType

@@ -188,9 +188,10 @@ class HostColdSampler:
     ``pure_callback`` instead of per-element zero-copy reads.
 
     Draw semantics mirror ``ops.sampling`` per algorithm; determinism comes
-    from counter-based hashing of (step key, node id, slot), so results are
-    independent of which chip issued the request (same property as the
-    device path's per-request key derivation).
+    from counter-based hashing of (step key, node id, request position,
+    pick slot) — the position term keeps duplicate requests for the same
+    node (random-walk lanes) independent, matching the device path's
+    per-request key derivation.
     """
 
     def __init__(
@@ -228,6 +229,13 @@ class HostColdSampler:
         for w in kd:
             salt = ((salt * 0x100000001B3) ^ int(w)) & 0xFFFFFFFFFFFFFFFF
         salt = np.uint64(salt)
+        # per-row salt folds the REQUEST POSITION in: duplicate requests for
+        # the same node (random-walk lanes) must draw independently — keying
+        # on node id alone would collapse all lanes onto one walk
+        pos = np.nonzero(valid)[0].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            row_salt = salt ^ (pos * np.uint64(0xD6E8FEB86659FD93))
+        salt = row_salt[:, None]
         slot_ctr = v[:, None] * np.int64(k) + np.arange(k, dtype=np.int64)
         u = _hash_u01(slot_ctr, salt)
         st = SampleType
