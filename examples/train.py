@@ -182,18 +182,18 @@ def main():
         from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
 
         engine = DisaggregatedEngine(ds, config)
-        engine.run()
     elif config.num_worker > 1:
         from xgnn_tpu.engine.multi_engine import MultiChipEngine
 
         engine = MultiChipEngine(ds, config)
-        engine.run()
     else:
         engine = Engine(ds, config)
-        engine.run()
-        if args.report_acc:
-            acc = engine.evaluate("test")
-            print(f"test_result:test_acc={acc:.4f}")
+    engine.run()
+    if args.report_acc:
+        # sidecar test accuracy (reference train_accuracy.py analog) —
+        # every engine exposes evaluate()
+        acc = engine.evaluate("test")
+        print(f"test_result:test_acc={acc:.4f}")
 
 
 if __name__ == "__main__":

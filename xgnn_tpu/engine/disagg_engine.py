@@ -47,6 +47,7 @@ from ..store.feature_store import (
 from ..train import init_state, make_eval_step
 from .pipeline import Prefetcher
 from .shuffler import Shuffler
+from .engine import _nanmean
 
 
 class DisaggregatedEngine:
@@ -246,8 +247,8 @@ class DisaggregatedEngine:
         self.profiler.log_epoch_add(epoch, "epoch_time", dt)
         return {
             "epoch": epoch,
-            "loss": float(np.nanmean(stats[0])),
-            "train_acc": float(np.nanmean(stats[1])),
+            "loss": _nanmean(stats[0]),
+            "train_acc": _nanmean(stats[1]),
             "time": dt,
             "steps": num_steps,
         }

@@ -62,6 +62,7 @@ from ..sampler import Sampler, _layer_fanouts, default_capacities
 from ..train import init_state
 from ..types import Graph
 from .shuffler import Shuffler
+from .engine import _nanmean
 
 EMPTY = C.EMPTY_KEY
 
@@ -601,10 +602,8 @@ class MultiChipEngine:
             self._grow_capacities()
         return {
             "epoch": epoch,
-            "loss": float(np.nanmean(stats[0])) if np.isfinite(stats[0]).any()
-            else float("nan"),
-            "train_acc": float(np.nanmean(stats[1]))
-            if np.isfinite(stats[0]).any() else float("nan"),
+            "loss": _nanmean(stats[0]),
+            "train_acc": _nanmean(stats[1]),
             "time": dt,
             "steps": S,
             "hit_rate": 1.0,
@@ -726,8 +725,8 @@ class MultiChipEngine:
             self._grow_capacities()
         return {
             "epoch": epoch,
-            "loss": float(np.nanmean(stats[0])),
-            "train_acc": float(np.nanmean(stats[1])),
+            "loss": _nanmean(stats[0]),
+            "train_acc": _nanmean(stats[1]),
             "time": dt,
             "steps": num_steps,
             "hit_rate": hit_rate,
