@@ -68,6 +68,7 @@ def main():
         # A/B overrides (the driver runs the bare defaults)
         agg_impl=os.environ.get("XGNN_BENCH_AGG", "loop"),
         feat_dtype=os.environ.get("XGNN_BENCH_FEAT_DTYPE", "float32"),
+        compute_dtype=os.environ.get("XGNN_BENCH_COMPUTE_DTYPE", "float32"),
         device_loop=os.environ.get("XGNN_BENCH_DEVICE_LOOP", "0") == "1",
         # pre-measured frontier capacities for this graph/fanout (saves the
         # calibration compile; overflow-grow still protects correctness)
