@@ -38,6 +38,30 @@ def test_engine_checkpoint_resume(learnable_or_small, tmp_path):
     mgr.close()
 
 
+def test_multi_chip_checkpoint_resume(small_ds, tmp_path):
+    """Replicated-state checkpoint round-trip through Orbax on the mesh:
+    restore must re-replicate and continue from the saved epoch."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    common = dict(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=4,
+        use_dist_graph=True, part_cache=True, cache_percentage=1.0,
+        num_epoch=2, lr=0.01, root_path="/tmp",
+        checkpoint_dir=str(tmp_path / "mc_ckpt"), checkpoint_every=1,
+    )
+    e1 = MultiChipEngine(small_ds, RunConfig(**common))
+    r1 = e1.run()
+    assert len(r1["epochs"]) == 2
+
+    e2 = MultiChipEngine(small_ds, RunConfig(**dict(common, num_epoch=3)))
+    r2 = e2.run()
+    # only epoch 2 trains in the resumed run
+    assert len(r2["epochs"]) == 1
+    assert r2["epochs"][0]["epoch"] == 2
+    assert np.isfinite(r2["epochs"][0]["loss"])
+
+
 @pytest.fixture()
 def learnable_or_small(small_ds):
     return small_ds
