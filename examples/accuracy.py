@@ -73,7 +73,7 @@ def main():
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         [dummy] * config.num_layer, x0, False,
     )["params"]
-    from xgnn_tpu.train import init_state, make_optimizer
+    from xgnn_tpu.train import make_optimizer
 
     tx = make_optimizer(config)
     template = TrainState(params=params, opt_state=tx.init(params),

@@ -217,7 +217,6 @@ def test_dynamic_cache_refresh():
     r1 = engine.train_epoch(1)
     assert np.isfinite(r0["loss"]) and np.isfinite(r1["loss"])
     # extraction still correct after refresh: spot-check a batch
-    import jax as _jax
     import jax.numpy as _jnp
     from xgnn_tpu.constants import EMPTY_KEY as _EK
 

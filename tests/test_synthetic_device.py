@@ -23,8 +23,6 @@ def test_device_csr_invariants():
 
 
 def test_device_dataset_trains():
-    import jax
-
     from xgnn_tpu import RunConfig
     from xgnn_tpu.engine import Engine
 

@@ -34,7 +34,7 @@ from jax.sharding import NamedSharding, PartitionSpec as PS
 from jax import shard_map
 
 from .. import constants as C
-from ..config import RunConfig, SampleType
+from ..config import RunConfig
 from ..sampler import _sample_minibatch, _layer_fanouts
 from ..train import TrainState, loss_fn, make_optimizer
 from ..types import Block, SampledBatch
