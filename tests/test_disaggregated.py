@@ -74,6 +74,24 @@ def test_disagg_engine_2x2_learns(learn_ds):
     assert np.isfinite(acc) and acc > 0.0
 
 
+def test_disagg_overflow_grows(learn_ds):
+    """Capacity overflow in the disaggregated pipeline must skip the
+    poisoned updates and grow the sampling service for the next epoch."""
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", lr=0.01, root_path="/tmp",
+        num_sample_worker=1, num_train_worker=1, arch="disaggregated",
+        num_epoch=2, pipeline=False,
+        frontier_capacities=(64, 128, 128),  # far below the real frontier
+    )
+    eng = DisaggregatedEngine(learn_ds, config).init()
+    eng.train_epoch(0)
+    assert eng.svc.capacities[-1] > 128
+    assert np.isfinite(eng.train_epoch(1)["loss"])
+
+
 def test_balance_switcher_rerole(learn_ds):
     """Epoch-boundary sampler/trainer re-role (balance_switcher analog,
     example/samgraph/balance_switcher/): state survives the re-role and

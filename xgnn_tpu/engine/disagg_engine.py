@@ -245,6 +245,21 @@ class DisaggregatedEngine:
         )
         dt = time.perf_counter() - t_epoch
         self.profiler.log_epoch_add(epoch, "epoch_time", dt)
+        n_over = int(np.nansum(stats[2]))
+        if n_over:
+            # overflowed steps were skipped on device; grow the sampling
+            # service's frontier capacities for the next epoch (the same
+            # recover path as the other two engines — without it a
+            # persistently-overflowing config would skip every update
+            # forever)
+            print(
+                f"warning: {n_over} steps overflowed capacity in epoch "
+                f"{epoch}; growing sampler capacities"
+            )
+            grown = self.svc.samplers[0].grow().capacities
+            self.svc = DisaggregatedSampler(
+                self.ds, cfg, self.sample_devices, grown
+            )
         return {
             "epoch": epoch,
             "loss": _nanmean(stats[0]),
