@@ -62,6 +62,27 @@ def test_multi_chip_checkpoint_resume(small_ds, tmp_path):
     assert np.isfinite(r2["epochs"][0]["loss"])
 
 
+def test_disagg_checkpoint_resume(small_ds, tmp_path):
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    common = dict(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", lr=0.01, root_path="/tmp",
+        num_sample_worker=1, num_train_worker=1, arch="disaggregated",
+        num_epoch=2, pipeline=False,
+        checkpoint_dir=str(tmp_path / "dg_ckpt"), checkpoint_every=1,
+    )
+    e1 = DisaggregatedEngine(small_ds, RunConfig(**common))
+    r1 = e1.run()
+    assert len(r1["epochs"]) == 2
+
+    e2 = DisaggregatedEngine(small_ds, RunConfig(**dict(common, num_epoch=3)))
+    r2 = e2.run()
+    assert len(r2["epochs"]) == 1
+    assert r2["epochs"][0]["epoch"] == 2
+    assert np.isfinite(r2["epochs"][0]["loss"])
+
+
 @pytest.fixture()
 def learnable_or_small(small_ds):
     return small_ds

@@ -366,12 +366,31 @@ class DisaggregatedEngine:
 
     def run(self) -> dict:
         self.init()
+        cfg = self.config
+        ckpt = None
+        start_epoch = 0
+        if cfg.checkpoint_dir:
+            from ..checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(cfg.checkpoint_dir)
+            state, extra = ckpt.restore(jax.tree.map(np.asarray, self.state))
+            if state is not None:
+                self.state = put_replicated(state, self.train_mesh)
+                start_epoch = (extra or {}).get("epoch", -1) + 1
+                print(f"resumed from checkpoint at epoch {start_epoch}")
         results = []
-        for e in range(self.config.num_epoch):
+        for e in range(start_epoch, cfg.num_epoch):
             r = self.train_epoch(e)
             results.append(r)
-            if self.config.balance_switcher and e + 1 < self.config.num_epoch:
+            if ckpt and (e + 1) % cfg.checkpoint_every == 0:
+                ckpt.save(
+                    e, jax.tree.map(np.asarray, self.state),
+                    extra={"epoch": e},
+                )
+            if cfg.balance_switcher and e + 1 < cfg.num_epoch:
                 self._maybe_rebalance(r)
+        if ckpt:
+            ckpt.close()
         if self.config.report_acc:
             acc = self.evaluate("valid")
             print(f"test_result:valid_acc={acc:.4f}")
