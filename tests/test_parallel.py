@@ -351,6 +351,29 @@ def test_multi_chip_device_loop_matches_host(small_ds):
         )
 
 
+def test_multi_chip_sanity_mode(small_ds):
+    """On-device sanity kernels (the GPUBatchSanityCheck analog) run inside
+    the SPMD programs in every execution shape and raise nothing on clean
+    batches — flags are pulled once per epoch."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    for extra in (
+        dict(),  # fused host loop
+        dict(device_loop=True),  # fused scanned epoch
+        dict(cache_percentage=0.25, cache_policy="degree"),  # two-phase
+    ):
+        config = RunConfig(
+            batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+            model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+            use_dist_graph=True, part_cache=True,
+            **{"cache_percentage": 1.0, **extra},
+            num_epoch=1, lr=0.01, root_path="/tmp", sanity_check=True,
+        )
+        eng = MultiChipEngine(small_ds, config).init()
+        r = eng.train_epoch(0)  # must not raise
+        assert np.isfinite(r["loss"]), extra
+
+
 def test_multi_chip_ggms_partial_cache(learn_ds):
     """The composed GGMS: partial partitioned cache + host miss path +
     host topology cold tier — trains, learns, and reports a real hit rate

@@ -152,6 +152,14 @@ class DisaggregatedEngine:
             batch = self.svc.sample_to(
                 seeds, n, key, self.train_devices[t]
             )
+            if self.config.sanity_check:
+                from ..ops import sanity
+
+                flags = int(sanity.check_batch(batch))
+                if flags:
+                    raise RuntimeError(
+                        f"sanity check failed: {sanity.explain(flags)}"
+                    )
             x, info = self.feature_sources[t].extract(
                 batch.input_nodes, batch.num_input
             )

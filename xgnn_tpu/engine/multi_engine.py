@@ -91,7 +91,7 @@ def _to_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-def _make_mc_fused_epoch(step_fn):
+def _make_mc_fused_epoch(step_fn, with_sanity: bool = False):
     """Multi-chip ``device_loop``: scan the fused SPMD step over every step
     of an epoch in ONE program.  All per-step host work (seed sharding,
     key staging, program dispatch — multiplied by chip count in the host
@@ -108,10 +108,13 @@ def _make_mc_fused_epoch(step_fn):
     ):
         def body(st, xs):
             st, m = step_fn(st, topo, feat_parts, lab_parts, *xs)
-            return st, (
+            ys = (
                 m["loss"], m["acc"],
                 m["exchange_overflow"].astype(jnp.float32),
             )
+            if with_sanity:
+                ys = ys + (m["sanity"].astype(jnp.float32),)
+            return st, ys
 
         return jax.lax.scan(
             body, state, (seeds_all, nums_all, keys_all, dkeys_all)
@@ -512,7 +515,9 @@ class MultiChipEngine:
             self.num_parts, -1, self._feat_host.shape[1]
         )
 
-    def _finish_step(self, pending, losses, accs, overflows, hits, misses):
+    def _finish_step(
+        self, pending, losses, accs, overflows, hits, misses, sanities
+    ):
         outs, dkeys = pending
         t0 = time.perf_counter()
         miss_ids = _to_host(outs["miss_ids"]).reshape(
@@ -529,6 +534,8 @@ class MultiChipEngine:
         overflows.append(metrics["exchange_overflow"])
         hits.append(outs["num_hit"])
         misses.append(outs["num_miss"])
+        if "sanity" in metrics:
+            sanities.append(metrics["sanity"])
         return t_copy
 
     def _put_batch(self, arr):
@@ -581,7 +588,9 @@ class MultiChipEngine:
                 ))
             )
         if self._mc_epoch_program is None or self._mc_epoch_steps != S:
-            self._mc_epoch_program = _make_mc_fused_epoch(self.step_fn)
+            self._mc_epoch_program = _make_mc_fused_epoch(
+                self.step_fn, with_sanity=cfg.sanity_check
+            )
             self._mc_epoch_steps = S
         t0 = time.perf_counter()
         self.state, ys = self._mc_epoch_program(
@@ -593,6 +602,14 @@ class MultiChipEngine:
         stats = _to_host(jnp.stack(ys))  # one pull; forces completion
         dt = time.perf_counter() - t0
         self.profiler.log_epoch_add(epoch, "epoch_time", dt)
+        if cfg.sanity_check:
+            smax = int(stats[3].max())
+            if smax:
+                from ..ops import sanity
+
+                raise RuntimeError(
+                    f"sanity check failed: {sanity.explain(smax)}"
+                )
         n_over = int(stats[2].sum())
         if n_over:
             print(
@@ -627,7 +644,7 @@ class MultiChipEngine:
             return self._train_epoch_fused(epoch, iters, num_steps, base_key)
 
         losses, accs, overflows = [], [], []
-        hits, misses = [], []
+        hits, misses, sanities = [], [], []
         t_epoch = time.perf_counter()
         t_prev = t_epoch
         copy_time = 0.0
@@ -649,14 +666,16 @@ class MultiChipEngine:
                 )
                 if pending is not None and cfg.pipeline:
                     copy_time += self._finish_step(
-                        pending, losses, accs, overflows, hits, misses
+                        pending, losses, accs, overflows, hits, misses,
+                        sanities,
                     )
                     pending = None
                 if cfg.pipeline:
                     pending = (outs, dkeys)
                 else:
                     copy_time += self._finish_step(
-                        (outs, dkeys), losses, accs, overflows, hits, misses
+                        (outs, dkeys), losses, accs, overflows, hits, misses,
+                        sanities,
                     )
                 now = time.perf_counter()
                 self.profiler.log_step(
@@ -665,7 +684,7 @@ class MultiChipEngine:
                 t_prev = now
             if pending is not None:
                 copy_time += self._finish_step(
-                    pending, losses, accs, overflows, hits, misses
+                    pending, losses, accs, overflows, hits, misses, sanities
                 )
         else:
             for step in range(num_steps):
@@ -688,6 +707,8 @@ class MultiChipEngine:
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
                 overflows.append(metrics["exchange_overflow"])
+                if "sanity" in metrics:
+                    sanities.append(metrics["sanity"])
                 now = time.perf_counter()
                 # the whole sample+extract+train pipeline is one fused SPMD
                 # program here; its wall time is logged as train time
@@ -716,6 +737,14 @@ class MultiChipEngine:
             self.profiler.log_epoch_add(epoch, "copy_time", copy_time)
         dt = time.perf_counter() - t_epoch
         self.profiler.log_epoch_add(epoch, "epoch_time", dt)
+        if sanities:
+            smax = int(np.asarray(jnp.stack(sanities)).max())
+            if smax:
+                from ..ops import sanity
+
+                raise RuntimeError(
+                    f"sanity check failed: {sanity.explain(smax)}"
+                )
         n_over = int(stats[2].sum())
         if n_over:
             print(

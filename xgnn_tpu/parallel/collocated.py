@@ -223,6 +223,15 @@ def make_collocated_train_step(
             "acc": jnp.where(skip, jnp.nan, acc),
             "exchange_overflow": skip,
         }
+        if config.sanity_check:
+            # on-device assert kernels (reference GPUBatchSanityCheck runs
+            # in the dist archs too); flags pulled once per epoch
+            from ..ops import sanity
+
+            flags = sanity.check_batch(batch)
+            for ax in grad_axes:
+                flags = jax.lax.pmax(flags, ax)
+            metrics["sanity"] = flags
         return new_state, metrics
 
     sharded = shard_map(
@@ -303,6 +312,10 @@ def make_sample_split_step(
         )
         out = pack_batch(batch)
         out["overflow"] = (batch.overflow | c_of | l_of).reshape(1)
+        if config.sanity_check:
+            from ..ops import sanity
+
+            out["sanity"] = sanity.check_batch(batch).reshape(1)
         out.update(
             hit_rows=hit_rows,
             miss_ids=miss_ids,
@@ -386,6 +399,10 @@ def make_combine_train_step(
             "acc": jnp.where(skip, jnp.nan, acc),
             "exchange_overflow": skip,
         }
+        if config.sanity_check:
+            metrics["sanity"] = jax.lax.pmax(
+                packed["sanity"].reshape(()), axis_name
+            )
         return new_state, metrics
 
     sharded = shard_map(
