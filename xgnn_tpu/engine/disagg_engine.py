@@ -223,10 +223,15 @@ class DisaggregatedEngine:
 
                 x = stitched.pop("x")
                 labels = stitched.pop("labels")
+                if cfg.dump_trace:
+                    self.profiler.trace_begin(epoch, step, "train")
                 self.state, metrics = self._train_step(
                     self.state, stitched, x, labels,
                     put_sharded(dkeys, self.train_mesh),
                 )
+                if cfg.dump_trace:
+                    jax.block_until_ready(metrics["loss"])
+                    self.profiler.trace_end(epoch, step, "train")
                 self.profiler.log_step(
                     epoch, step, P.L1_SAMPLE_TIME, t_dispatch
                 )
@@ -399,6 +404,10 @@ class DisaggregatedEngine:
                 self._maybe_rebalance(r)
         if ckpt:
             ckpt.close()
+        if cfg.dump_trace:
+            path = "xgnn_trace.json"
+            self.profiler.dump_trace(path)
+            print(f"trace dumped to {path}")
         if self.config.report_acc:
             acc = self.evaluate("valid")
             print(f"test_result:valid_acc={acc:.4f}")

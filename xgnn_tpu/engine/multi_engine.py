@@ -658,12 +658,17 @@ class MultiChipEngine:
                 dkeys = jax.random.key_data(
                     jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
                 )
+                if cfg.dump_trace:
+                    self.profiler.trace_begin(epoch, step, "sample")
                 outs = self._fn_a(
                     self.topo, self.posmap, self.cache_parts, self.lab_parts,
                     put_sharded(seeds, self.mesh),
                     put_sharded(nums, self.mesh),
                     put_sharded(keys, self.mesh),
                 )
+                if cfg.dump_trace:
+                    self.profiler.trace_end(epoch, step, "sample")
+                    self.profiler.trace_begin(epoch, step, "train")
                 if pending is not None and cfg.pipeline:
                     copy_time += self._finish_step(
                         pending, losses, accs, overflows, hits, misses,
@@ -678,6 +683,8 @@ class MultiChipEngine:
                         sanities,
                     )
                 now = time.perf_counter()
+                if cfg.dump_trace:
+                    self.profiler.trace_end(epoch, step, "train")
                 self.profiler.log_step(
                     epoch, step, P.L1_TRAIN_TIME, now - t_prev
                 )
@@ -694,6 +701,8 @@ class MultiChipEngine:
                 dkeys = jax.random.key_data(
                     jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
                 )
+                if cfg.dump_trace:
+                    self.profiler.trace_begin(epoch, step, "train")
                 self.state, metrics = self.step_fn(
                     self.state,
                     self.topo,
@@ -709,6 +718,9 @@ class MultiChipEngine:
                 overflows.append(metrics["exchange_overflow"])
                 if "sanity" in metrics:
                     sanities.append(metrics["sanity"])
+                if cfg.dump_trace:
+                    jax.block_until_ready(metrics["loss"])
+                    self.profiler.trace_end(epoch, step, "train")
                 now = time.perf_counter()
                 # the whole sample+extract+train pipeline is one fused SPMD
                 # program here; its wall time is logged as train time
@@ -867,6 +879,10 @@ class MultiChipEngine:
                 )
         if ckpt:
             ckpt.close()
+        if cfg.dump_trace:
+            path = "xgnn_trace.json"
+            self.profiler.dump_trace(path)
+            print(f"trace dumped to {path}")
         extra = {"final_train_acc": results[-1]["train_acc"] if results else 0.0}
         if results and "hit_rate" in results[-1]:
             extra["cache_hit_rate"] = results[-1]["hit_rate"]
