@@ -55,12 +55,13 @@ def main():
     print(f"# generated on-device: {ds.num_node} nodes {ds.num_edge} edges "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    model = os.environ.get("XGNN_BENCH_MODEL", "graphsage")
     config = RunConfig(
         batch_size=BATCH,
         fanout=FANOUT,
         num_layer=len(FANOUT),
         num_hidden=256,
-        model="graphsage",
+        model=model,
         sample_type="khop3",
         cache_percentage=0.0,  # feats fit in HBM on one chip
         pipeline=True,
@@ -121,7 +122,7 @@ def main():
         )
 
     print(json.dumps({
-        "metric": "graphsage_products_edges_per_sec",
+        "metric": f"{model}_products_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(vs_baseline, 4),

@@ -351,6 +351,23 @@ def test_multi_chip_device_loop_matches_host(small_ds):
         )
 
 
+def test_multi_chip_node_access_log(small_ds):
+    """XGNN_LOG_NODE_ACCESS analytics through the two-phase GGMS path."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=True, part_cache=True, cache_percentage=0.25,
+        cache_policy="degree", num_epoch=1, lr=0.01, root_path="/tmp",
+    )
+    eng = MultiChipEngine(small_ds, config).init()
+    eng.profiler.enable_node_access_log()
+    eng.train_epoch(0)
+    freq = eng.profiler.node_access_frequency()
+    assert len(freq) > 0 and np.sum(np.asarray(freq)) > 0
+
+
 def test_multi_chip_sanity_mode(small_ds):
     """On-device sanity kernels (the GPUBatchSanityCheck analog) run inside
     the SPMD programs in every execution shape and raise nothing on clean

@@ -536,6 +536,14 @@ class MultiChipEngine:
         misses.append(outs["num_miss"])
         if "sanity" in metrics:
             sanities.append(metrics["sanity"])
+        if self.profiler._log_node_access:
+            # node-access analytics (XGNN_LOG_NODE_ACCESS): per-chip valid
+            # input prefixes, host-pulled — opt-in analysis mode only
+            # (shard_map concatenates per-chip lanes along dim 0)
+            ids = _to_host(outs["input_nodes"]).reshape(self.num_parts, -1)
+            nin = _to_host(outs["num_input"]).reshape(-1)
+            for w in range(ids.shape[0]):
+                self.profiler.log_node_access(ids[w, : int(nin[w])])
         return t_copy
 
     def _put_batch(self, arr):
@@ -883,6 +891,22 @@ class MultiChipEngine:
             path = "xgnn_trace.json"
             self.profiler.dump_trace(path)
             print(f"trace dumped to {path}")
+        if self.profiler._log_node_access:
+            # the three reference analytics files (profiler.cc:659-795)
+            deg = self.ds.degrees
+            self.profiler.dump_node_access(
+                "node_access.txt", in_degrees=deg, out_degrees=deg
+            )
+            self.profiler.dump_node_access_frequency(
+                "node_access_frequency.txt", self.ds.num_node
+            )
+            self.profiler.dump_node_access_similarity(
+                "node_access_similarity.txt"
+            )
+            opt = self.profiler.optimal_cache_hit_rate(
+                max(cfg.cache_percentage, 0.0), self.ds.num_node
+            )
+            print(f"test_result:optimal_cache_hit_rate={opt:.6f}")
         extra = {"final_train_acc": results[-1]["train_acc"] if results else 0.0}
         if results and "hit_rate" in results[-1]:
             extra["cache_hit_rate"] = results[-1]["hit_rate"]
