@@ -72,9 +72,17 @@ def main():
         compute_dtype=os.environ.get("XGNN_BENCH_COMPUTE_DTYPE", "float32"),
         device_loop=os.environ.get("XGNN_BENCH_DEVICE_LOOP", "0") == "1",
         # pre-measured frontier capacities for this graph/fanout (saves the
-        # calibration compile; overflow-grow still protects correctness)
-        frontier_capacities=(BATCH, 133376, 1007360, 2449152),
-        calibration_batches=0,
+        # calibration compile; overflow-grow still protects correctness).
+        # The transform-first models (gcn/gat) calibrate instead — their
+        # (src_cap, hidden) activations can't afford the worst-case cap —
+        # and remat their layers (see config.remat)
+        frontier_capacities=(
+            (BATCH, 133376, 1007360, 2449152)
+            if model in ("graphsage", "pinsage")
+            else None
+        ),
+        calibration_batches=0 if model in ("graphsage", "pinsage") else 2,
+        remat=model not in ("graphsage", "pinsage"),
         root_path="/tmp",
         dataset="products_synth",
     )

@@ -82,6 +82,9 @@ def parse_args():
                    help="force the CPU backend (leave the TPU untouched)")
     p.add_argument("--agg-impl", default=None, choices=["loop", "tiled"],
                    help="fanout-aggregation formulation (see PERF.md)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize GNN layers in backward "
+                        "(jax.checkpoint): fit big frontiers in HBM")
     p.add_argument("--feat-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="on-device feature-table storage dtype")
@@ -146,6 +149,7 @@ def main():
         presample_epoch=args.presample_epoch,
         pipeline=args.pipeline,
         device_loop=args.device_loop,
+        remat=args.remat,
         report_acc=args.report_acc,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

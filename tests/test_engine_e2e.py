@@ -92,6 +92,22 @@ def test_device_loop_matches_host_loop(learnable_ds):
     assert np.isfinite(e_gcn.train_epoch(0)["loss"])
 
 
+def test_remat_matches_plain(learnable_ds):
+    """jax.checkpoint layers recompute the SAME math — loss must match the
+    non-remat run exactly."""
+    common = dict(
+        batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
+        num_epoch=1, model="gcn", cache_percentage=0.0,
+        lr=0.01, dropout=0.1, calibration_batches=1, root_path="/tmp",
+        pipeline=False,
+    )
+    e_plain = Engine(learnable_ds, RunConfig(remat=False, **common)).init()
+    e_remat = Engine(learnable_ds, RunConfig(remat=True, **common)).init()
+    r_plain = e_plain.train_epoch(0)
+    r_remat = e_remat.train_epoch(0)
+    np.testing.assert_allclose(r_plain["loss"], r_remat["loss"], rtol=1e-4)
+
+
 def test_device_loop_overflow_grows(learnable_ds):
     """Sampler-capacity overflow inside the fused epoch must be flagged,
     skip the update on device, and grow capacities at epoch end."""

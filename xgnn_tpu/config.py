@@ -125,6 +125,11 @@ class RunConfig:
     weight_decay: float = 0.0
     num_head: int = 1  # GAT
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly training
+    # rematerialize each GNN layer in the backward pass (jax.checkpoint):
+    # recompute instead of storing per-layer intermediates.  The
+    # transform-first models (GCN/GAT) hold a (src_cap, hidden) activation
+    # per layer — at full-graph-scale frontiers that is the HBM budget item
+    remat: bool = False
     # fanout-aggregation formulation: "loop" = unrolled K gather+FMA passes,
     # "tiled" = ops/fanout.fanout_reduce_tiled (scan over dst tiles, one
     # output write, custom-VJP backward) — see PERF.md "accumulator tax"

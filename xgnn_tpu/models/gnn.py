@@ -232,10 +232,21 @@ class GNN(nn.Module):
     num_heads: int = 1
     compute_dtype: Any = jnp.float32
     agg_impl: str = "loop"
+    # rematerialize each conv layer in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for NOT storing the per-layer intermediates —
+    # the transform-first models (GCN/GAT) hold a (src_cap, hidden) dense
+    # activation per layer that dominates HBM at full-graph-scale frontiers
+    remat: bool = False
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], x: jax.Array, train: bool = False):
         conv_cls = _CONVS[self.conv]
+        # explicit layer names: nn.remat renames the class (Checkpoint…),
+        # which would change the param paths — and therefore the init RNG
+        # stream and checkpoint layout.  remat must be a pure runtime knob.
+        base_name = conv_cls.__name__
+        if self.remat:
+            conv_cls = nn.remat(conv_cls)
         # bf16-STORED features stay bf16 so the first layer's gathers read
         # half the bytes; an up-front astype would cost a full-table pass
         h = x if x.dtype == jnp.bfloat16 else x.astype(self.compute_dtype)
@@ -244,14 +255,14 @@ class GNN(nn.Module):
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
             dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
             kwargs = {}
-            if conv_cls is not GATConv:
+            if _CONVS[self.conv] is not GATConv:
                 kwargs["agg_impl"] = self.agg_impl
-            if conv_cls is GATConv:
+            else:
                 # heads on hidden layers, single head for logits (DGL style)
                 kwargs["num_heads"] = 1 if i == self.num_layers - 1 else self.num_heads
                 if i != self.num_layers - 1:
                     dim = self.hidden_dim // max(self.num_heads, 1)
-            layer = conv_cls(out_dim=dim, **kwargs)
+            layer = conv_cls(out_dim=dim, name=f"{base_name}_{i}", **kwargs)
             h = layer(blocks[i], h)
             if i != self.num_layers - 1:
                 h = nn.relu(h)
@@ -273,4 +284,5 @@ def build_model(config, feat_dim: int, num_class: int) -> GNN:
         num_heads=config.num_head,
         compute_dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
         agg_impl=getattr(config, "agg_impl", "loop"),
+        remat=getattr(config, "remat", False),
     )
