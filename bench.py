@@ -64,7 +64,9 @@ def main():
         model=model,
         sample_type="khop3",
         cache_percentage=0.0,  # feats fit in HBM on one chip
-        pipeline=True,
+        # transform-first models: two in-flight (src_cap, F) extract buffers
+        # (pipelined prefetch) don't fit next to the remat transients
+        pipeline=model in ("graphsage", "pinsage"),
         num_epoch=EPOCHS,
         # A/B overrides (the driver runs the bare defaults)
         agg_impl=os.environ.get("XGNN_BENCH_AGG", "loop"),
