@@ -56,6 +56,15 @@ def main():
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
     model = os.environ.get("XGNN_BENCH_MODEL", "graphsage")
+    # GAT is the one inherently transform-first model (attention needs the
+    # transformed src rows): its (src_cap, hidden) activations need layer
+    # remat, calibrated (tight) capacities, and an unpipelined extract.
+    # GCN reorders to aggregate-first (models/gnn.GCNConv) and runs the
+    # same fast-path configuration as SAGE/PinSAGE.
+    heavy = model == "gat"
+    _env_flag = lambda name, default: (
+        os.environ[name] == "1" if name in os.environ else default
+    )
     config = RunConfig(
         batch_size=BATCH,
         fanout=FANOUT,
@@ -64,9 +73,7 @@ def main():
         model=model,
         sample_type="khop3",
         cache_percentage=0.0,  # feats fit in HBM on one chip
-        # transform-first models: two in-flight (src_cap, F) extract buffers
-        # (pipelined prefetch) don't fit next to the remat transients
-        pipeline=model in ("graphsage", "pinsage"),
+        pipeline=_env_flag("XGNN_BENCH_PIPELINE", not heavy),
         num_epoch=EPOCHS,
         # A/B overrides (the driver runs the bare defaults)
         agg_impl=os.environ.get("XGNN_BENCH_AGG", "loop"),
@@ -74,17 +81,12 @@ def main():
         compute_dtype=os.environ.get("XGNN_BENCH_COMPUTE_DTYPE", "float32"),
         device_loop=os.environ.get("XGNN_BENCH_DEVICE_LOOP", "0") == "1",
         # pre-measured frontier capacities for this graph/fanout (saves the
-        # calibration compile; overflow-grow still protects correctness).
-        # The transform-first models (gcn/gat) calibrate instead — their
-        # (src_cap, hidden) activations can't afford the worst-case cap —
-        # and remat their layers (see config.remat)
+        # calibration compile; overflow-grow still protects correctness)
         frontier_capacities=(
-            (BATCH, 133376, 1007360, 2449152)
-            if model in ("graphsage", "pinsage")
-            else None
+            None if heavy else (BATCH, 133376, 1007360, 2449152)
         ),
-        calibration_batches=0 if model in ("graphsage", "pinsage") else 2,
-        remat=model not in ("graphsage", "pinsage"),
+        calibration_batches=2 if heavy else 0,
+        remat=_env_flag("XGNN_BENCH_REMAT", heavy),
         root_path="/tmp",
         dataset="products_synth",
     )

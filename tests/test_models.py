@@ -98,6 +98,32 @@ def test_gcn_conv_oracle(rng):
         np.testing.assert_allclose(out[i], exp, rtol=1e-4, atol=1e-5)
 
 
+def test_gcn_conv_aggregate_first_oracle(rng):
+    """out_dim >= in_dim selects the aggregate-first order (matmul after the
+    neighbor sum); the result must match the same transform-first math —
+    per-row scaling and the masked sum commute with the right-matmul."""
+    blk = make_block(rng)
+    h = rng.standard_normal((32, 8)).astype(np.float32)
+    conv = GCNConv(out_dim=12)  # 8 -> 12: aggregate-first branch
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+    out = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
+
+    w = np.asarray(params["params"]["Dense_0"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    neigh = np.asarray(blk.neigh)
+    out_deg = np.zeros(32)
+    for i in range(16):
+        for j in neigh[i][neigh[i] != EMPTY_KEY]:
+            out_deg[j] += 1
+    hw = h @ w  # transform-first oracle: mathematically identical
+    hw_n = hw / np.sqrt(np.maximum(out_deg, 1.0))[:, None]
+    for i in range(int(blk.num_dst)):
+        ids = neigh[i][neigh[i] != EMPTY_KEY]
+        agg = hw_n[ids].sum(0) if len(ids) else np.zeros(12, np.float32)
+        exp = agg / np.sqrt(max(len(ids), 1)) + b
+        np.testing.assert_allclose(out[i], exp, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("heads", [1, 2])
 def test_gat_conv_oracle(rng, heads):
     blk = make_block(rng)

@@ -128,7 +128,17 @@ class PinSAGEConv(nn.Module):
 class GCNConv(nn.Module):
     """Graph convolution with symmetric normalization (DGL ``GraphConv``
     ``norm='both'``, ``allow_zero_in_degree=True``): degrees are computed on
-    the sampled block."""
+    the sampled block.
+
+    Like DGL's GraphConv, the linear transform and the aggregation are
+    reordered by shape — per-row scaling and the masked neighbor sum commute
+    with a right-matmul, so ``agg(norm · h) W == agg(norm · (h W))`` exactly.
+    Aggregate-first (``in_dim <= out_dim``, e.g. every non-final layer at
+    feat→hidden/hidden→hidden widths) is the TPU fast path: the matmul runs
+    over the SMALL dst frontier instead of the full src frontier, the
+    neighbor gather moves ``in_dim``-wide rows instead of ``out_dim``-wide
+    ones, and no ``(src_cap, out_dim)`` activation is ever materialized —
+    which is what forced layer remat at full-graph-scale frontiers."""
 
     out_dim: int
     activation: Optional[Callable] = None
@@ -149,9 +159,20 @@ class GCNConv(nn.Module):
         )
         in_deg = jnp.sum(maskf, axis=1)
 
-        h = nn.Dense(self.out_dim, use_bias=False, param_dtype=self.param_dtype)(h_src)
-        h = h * (1.0 / jnp.sqrt(jnp.maximum(out_deg, 1.0)))[:, None]
-        agg, _ = fanout_reduce(h, block, impl=self.agg_impl)
+        dense = nn.Dense(
+            self.out_dim, use_bias=False, param_dtype=self.param_dtype
+        )
+        src_scale = (1.0 / jnp.sqrt(jnp.maximum(out_deg, 1.0)))[:, None]
+        if h_src.shape[1] > self.out_dim:
+            # transform first: narrows the aggregation width (last layer)
+            h = dense(h_src) * src_scale
+            agg, _ = fanout_reduce(h, block, impl=self.agg_impl)
+        else:
+            # aggregate first: matmul over dst rows only, gather in_dim-wide
+            # rows (bf16-stored features keep their half-width gathers)
+            h = h_src * src_scale.astype(h_src.dtype)
+            agg, _ = fanout_reduce(h, block, impl=self.agg_impl)
+            agg = dense(agg)
         agg = agg * (1.0 / jnp.sqrt(jnp.maximum(in_deg, 1.0)))[:, None]
         agg = agg + self.param(
             "bias", nn.initializers.zeros, (self.out_dim,), self.param_dtype
