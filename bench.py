@@ -56,12 +56,10 @@ def main():
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
     model = os.environ.get("XGNN_BENCH_MODEL", "graphsage")
-    # GAT is the one inherently transform-first model (attention needs the
-    # transformed src rows): its (src_cap, hidden) activations need layer
-    # remat, calibrated (tight) capacities, and an unpipelined extract.
-    # GCN reorders to aggregate-first (models/gnn.GCNConv) and runs the
-    # same fast-path configuration as SAGE/PinSAGE.
-    heavy = model == "gat"
+    # Every model runs the fast-path configuration: the GCN/GAT
+    # aggregate-first reorder (models/gnn.py) keeps the transform off the
+    # src frontier, so no model materializes a (src_cap, hidden) activation
+    # and none needs layer remat or an unpipelined extract anymore.
     _env_flag = lambda name, default: (
         os.environ[name] == "1" if name in os.environ else default
     )
@@ -73,20 +71,19 @@ def main():
         model=model,
         sample_type="khop3",
         cache_percentage=0.0,  # feats fit in HBM on one chip
-        pipeline=_env_flag("XGNN_BENCH_PIPELINE", not heavy),
+        pipeline=_env_flag("XGNN_BENCH_PIPELINE", True),
         num_epoch=EPOCHS,
         # A/B overrides (the driver runs the bare defaults)
         agg_impl=os.environ.get("XGNN_BENCH_AGG", "loop"),
         feat_dtype=os.environ.get("XGNN_BENCH_FEAT_DTYPE", "float32"),
         compute_dtype=os.environ.get("XGNN_BENCH_COMPUTE_DTYPE", "float32"),
         device_loop=os.environ.get("XGNN_BENCH_DEVICE_LOOP", "0") == "1",
-        # pre-measured frontier capacities for this graph/fanout (saves the
-        # calibration compile; overflow-grow still protects correctness)
-        frontier_capacities=(
-            None if heavy else (BATCH, 133376, 1007360, 2449152)
-        ),
-        calibration_batches=2 if heavy else 0,
-        remat=_env_flag("XGNN_BENCH_REMAT", heavy),
+        # pre-measured frontier capacities for this graph/fanout — a
+        # sampling-shape property, model-independent (saves the calibration
+        # compile; overflow-grow still protects correctness)
+        frontier_capacities=(BATCH, 133376, 1007360, 2449152),
+        calibration_batches=0,
+        remat=_env_flag("XGNN_BENCH_REMAT", False),
         root_path="/tmp",
         dataset="products_synth",
     )

@@ -40,6 +40,8 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=8000)
     p.add_argument("--num-epoch", type=int, default=10)
     p.add_argument("--num-hidden", type=int, default=256)
+    p.add_argument("--num-head", type=int, default=1,
+                   help="GAT attention heads (hidden layers)")
     p.add_argument("--lr", type=float, default=0.003)
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--cache-policy", default="pre_sample",
@@ -134,6 +136,7 @@ def main():
         batch_size=args.batch_size,
         num_epoch=args.num_epoch,
         num_hidden=args.num_hidden,
+        num_head=args.num_head,
         lr=args.lr,
         dropout=args.dropout,
         num_worker=args.num_worker,

@@ -133,7 +133,9 @@ def test_gat_conv_oracle(rng, heads):
     out = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
     assert out.shape == (16, heads * 6)
 
-    w = np.asarray(params["params"]["Dense_0"]["kernel"])
+    # heads=1 exercises the transform-first branch (8 > 1*6), heads=2 the
+    # aggregate-first branch (8 <= 2*6); the oracle math is order-free
+    w = np.asarray(params["params"]["kernel"]).reshape(8, heads * 6)
     al = np.asarray(params["params"]["attn_l"])
     ar = np.asarray(params["params"]["attn_r"])
     feat = (h @ w).reshape(32, heads, 6)

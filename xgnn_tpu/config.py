@@ -126,9 +126,10 @@ class RunConfig:
     num_head: int = 1  # GAT
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly training
     # rematerialize each GNN layer in the backward pass (jax.checkpoint):
-    # recompute instead of storing per-layer intermediates.  The
-    # transform-first models (GCN/GAT) hold a (src_cap, hidden) activation
-    # per layer — at full-graph-scale frontiers that is the HBM budget item
+    # recompute instead of storing per-layer intermediates.  Since the
+    # aggregate-first reorder (models/gnn.py GCNConv/GATConv) no model
+    # materializes a (src_cap, hidden) activation, so this is only needed
+    # for unusually wide hidden dims or many-head GAT at huge frontiers
     remat: bool = False
     # fanout-aggregation formulation: "loop" = unrolled K gather+FMA passes,
     # "tiled" = ops/fanout.fanout_reduce_tiled (scan over dst tiles, one

@@ -42,7 +42,7 @@ def _infer_layer_gcn(params, indptr, indices, h, num_node, chunk):
 
 def _infer_layer_gat(params, indptr, indices, h, num_node, chunk, heads):
     """Exact full-neighbor GAT layer (DGL GATConv semantics)."""
-    w = params["Dense_0"]["kernel"]  # (F, H*D)
+    w = params["kernel"].reshape(params["kernel"].shape[0], -1)  # (F, H*D)
     d = w.shape[1] // heads
     feat = (h @ w).reshape(num_node, heads, d)
     el = jnp.sum(feat * params["attn_l"], axis=-1)

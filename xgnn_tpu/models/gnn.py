@@ -188,7 +188,16 @@ class GATConv(nn.Module):
     The "sequence" dimension of GAT is the fanout axis: SDDMM + edge-softmax
     + SpMM (reference SURVEY §5.7) collapses to a masked softmax over the
     dense ``(dst, fanout)`` score matrix — no ragged segment ops.
-    """
+
+    Like GCNConv, linearity is exploited to keep the transform off the src
+    frontier: the attention projections fold into the kernel
+    (``el = h·(W·attn_l)`` — two skinny matmuls instead of materializing the
+    ``(src, H·D)`` transformed features), and when ``in_dim <= H·D`` the
+    per-head weighted sum commutes with the transform
+    (``Σₖ aₖ (hₖW) == (Σₖ aₖ hₖ) W``) so the matmul runs over dst rows and
+    the gathers move input-width rows.  Result: no ``(src_cap, hidden)``
+    activation at any layer, the change that forced remat at
+    full-graph-scale frontiers."""
 
     out_dim: int
     num_heads: int = 1
@@ -198,22 +207,30 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
         h, d = self.num_heads, self.out_dim
-        feat = nn.Dense(h * d, use_bias=False, param_dtype=self.param_dtype)(h_src)
-        feat = feat.reshape(-1, h, d)  # (src, H, D)
+        in_dim = h_src.shape[1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, h, d),
+            self.param_dtype,
+        )
         attn_l = self.param("attn_l", nn.initializers.glorot_uniform(), (h, d), self.param_dtype)
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (h, d), self.param_dtype)
-        el = jnp.sum(feat * attn_l, axis=-1)  # (src, H) — dst-side term
-        er = jnp.sum(feat * attn_r, axis=-1)  # (src, H) — src-side term
+        # folded score projections: el = Σ_d (hW)·attn_l = h (W attn_l)
+        wl = jnp.einsum("ihd,hd->ih", kernel, attn_l)  # (in, H)
+        wr = jnp.einsum("ihd,hd->ih", kernel, attn_r)
+        # bf16-stored features promote inside the matmuls — no full-width
+        # astype pass over the src table
+        el = h_src @ wl  # (src, H) — dst-side term
+        er = h_src @ wr  # (src, H) — src-side term
 
         mask = block.mask
         idx = jnp.where(mask, block.neigh, 0)
         # attention scores (dst, K, H): H is small, safe to materialize —
-        # only the (dst, K, H, D) feature gather is streamed below
+        # only the feature gather is streamed below
         er_k = jnp.stack(
             [jnp.take(er, idx[:, k], axis=0, mode="clip") for k in range(block.fanout)],
             axis=1,
         )
-        e = el[: block.dst_cap, None, :] + er_k
+        e = _take_dst(block, el)[:, None, :] + er_k
         e = nn.leaky_relu(e, negative_slope=self.negative_slope)  # (dst, K, H)
         e = jnp.where(mask[..., None], e, -jnp.inf)
         e_max = jnp.max(e, axis=1, keepdims=True)
@@ -221,12 +238,23 @@ class GATConv(nn.Module):
         a = jnp.exp(e - e_max) * mask[..., None]
         a = a / jnp.maximum(jnp.sum(a, axis=1, keepdims=True), 1e-9)
 
-        # streamed weighted sum over the fanout axis (no (dst,K,H,D) tensor)
-        out = jnp.zeros((block.dst_cap, h, d), feat.dtype)
+        if in_dim > h * d:
+            # transform first (narrows the gather width — last layer)
+            feat = (h_src @ kernel.reshape(in_dim, h * d)).reshape(-1, h, d)
+            out = jnp.zeros((block.dst_cap, h, d), feat.dtype)
+            for k in range(block.fanout):
+                rows = jnp.take(feat, idx[:, k], axis=0, mode="clip")
+                out = out + rows * a[:, k, :, None]
+            return out.reshape(block.dst_cap, h * d)
+        # aggregate first: gather input-width rows ONCE per pick (shared by
+        # all heads), per-head matmul over dst rows only
+        acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else el.dtype
+        agg = jnp.zeros((block.dst_cap, h, in_dim), acc_dt)
         for k in range(block.fanout):
-            rows = jnp.take(feat, idx[:, k], axis=0, mode="clip")  # (dst,H,D)
-            out = out + rows * a[:, k, :, None]
-        return out.reshape(block.dst_cap, h * d)
+            rows = jnp.take(h_src, idx[:, k], axis=0, mode="clip")
+            agg = agg + rows[:, None, :].astype(acc_dt) * a[:, k, :, None]
+        out = jnp.einsum("bhi,ihd->bhd", agg, kernel.astype(acc_dt))
+        return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
 
 
 _CONVS = {
@@ -254,9 +282,10 @@ class GNN(nn.Module):
     compute_dtype: Any = jnp.float32
     agg_impl: str = "loop"
     # rematerialize each conv layer in the backward pass (jax.checkpoint):
-    # trades recompute FLOPs for NOT storing the per-layer intermediates —
-    # the transform-first models (GCN/GAT) hold a (src_cap, hidden) dense
-    # activation per layer that dominates HBM at full-graph-scale frontiers
+    # trades recompute FLOPs for NOT storing the per-layer intermediates.
+    # Since the aggregate-first reorder no conv materializes a
+    # (src_cap, hidden) activation, so this is an escape hatch for
+    # unusually wide hidden dims / many-head GAT at huge frontiers
     remat: bool = False
 
     @nn.compact
