@@ -153,12 +153,12 @@ class Engine:
 
         t0 = time.perf_counter()
         # direct-extract fast path (the --gpu-extract analog): whole feature
-        # matrix HBM-resident + aggregate-first model ⇒ the last sampling
-        # layer skips dedup and the first GNN layer reads the table directly
-        self._direct = (
-            cfg.gpu_extract
-            and not (0.0 < cfg.cache_percentage < 1.0)
-            and cfg.model in ("graphsage", "pinsage")
+        # matrix HBM-resident ⇒ the last sampling layer skips dedup and the
+        # first GNN layer reads the table directly.  Every model qualifies
+        # since the aggregate-first reorder: SAGE/PinSAGE take dst rows via
+        # Block.dst_ids, GCN/GAT consume global-id blocks natively
+        self._direct = cfg.gpu_extract and not (
+            0.0 < cfg.cache_percentage < 1.0
         )
         self.sampler = Sampler(self.graph, cfg, direct_extract=self._direct)
         self._calibrate()

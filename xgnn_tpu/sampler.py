@@ -172,8 +172,9 @@ def _sample_minibatch(
     the HBM feature table directly inside the first GNN layer's aggregation,
     eliminating both the dominant dedup sort and the separate extract stage
     (measured: ~57 ms of a ~234 ms step at bench scale).  Valid only when
-    the whole feature matrix is device-resident and the first model layer
-    aggregates before transforming (GraphSAGE/PinSAGE).
+    the whole feature matrix is device-resident; every model in the zoo
+    consumes global-id blocks (SAGE/PinSAGE via ``Block.dst_ids``, GCN/GAT
+    natively since the aggregate-first reorder).
     """
     frontier = seeds
     num_frontier = num_seed
