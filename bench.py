@@ -78,6 +78,7 @@ def main():
         feat_dtype=os.environ.get("XGNN_BENCH_FEAT_DTYPE", "float32"),
         compute_dtype=os.environ.get("XGNN_BENCH_COMPUTE_DTYPE", "float32"),
         device_loop=os.environ.get("XGNN_BENCH_DEVICE_LOOP", "0") == "1",
+        num_head=int(os.environ.get("XGNN_BENCH_HEADS", "1")),
         # pre-measured frontier capacities for this graph/fanout — a
         # sampling-shape property, model-independent (saves the calibration
         # compile; overflow-grow still protects correctness)

@@ -315,7 +315,9 @@ class GNN(nn.Module):
             layer = conv_cls(out_dim=dim, name=f"{base_name}_{i}", **kwargs)
             h = layer(blocks[i], h)
             if i != self.num_layers - 1:
-                h = nn.relu(h)
+                # reference GAT uses ELU between layers (train_gat.py:59,
+                # ``F.elu``); the rest of the zoo uses ReLU
+                h = nn.elu(h) if self.conv == "gat" else nn.relu(h)
         return h.astype(jnp.float32)
 
 
