@@ -18,7 +18,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from xgnn_tpu.constants import EMPTY_KEY  # noqa: E402
-from xgnn_tpu.models import GCNConv, SAGEConv  # noqa: E402
+from xgnn_tpu.models import GATConv, GCNConv, SAGEConv  # noqa: E402
 from xgnn_tpu.types import Block  # noqa: E402
 
 
@@ -97,6 +97,56 @@ def test_gcn_forward_parity(rng):
     in_deg = mask.sum(1).float()
     theirs = agg / in_deg.clamp(min=1).sqrt().unsqueeze(-1) + b
 
+    nd = int(blk.num_dst)
+    np.testing.assert_allclose(
+        ours[:nd], theirs.numpy()[:nd], rtol=1e-4, atol=1e-5
+    )
+
+
+def _torch_gat(params, h, neigh, heads, out_dim, slope=0.2):
+    """Torch twin of DGL GATConv on a dense-fanout block, written the
+    CANONICAL way (transform every src row, then attend) — the flax layer
+    folds the attention projections into the kernel and reorders the
+    transform around the aggregation (models/gnn.py GATConv), so agreement
+    here checks both algebraic rewrites against torch autograd-able math."""
+    in_dim = h.shape[1]
+    kernel = torch.from_numpy(np.asarray(params["kernel"]))  # (in, H, D)
+    attn_l = torch.from_numpy(np.asarray(params["attn_l"]))  # (H, D)
+    attn_r = torch.from_numpy(np.asarray(params["attn_r"]))
+    ht = torch.from_numpy(h)
+    z = (ht @ kernel.reshape(in_dim, heads * out_dim)).reshape(
+        -1, heads, out_dim
+    )
+    el = (z * attn_l).sum(-1)  # (src, H) — dst-side score term
+    er = (z * attn_r).sum(-1)  # (src, H) — neighbor-side score term
+    n = torch.from_numpy(np.asarray(neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    dst_cap = n.shape[0]
+    e = el[:dst_cap].unsqueeze(1) + er[safe]  # (dst, K, H)
+    e = torch.nn.functional.leaky_relu(e, slope)
+    e = torch.where(mask.unsqueeze(-1), e, torch.full_like(e, -torch.inf))
+    a = torch.softmax(e, dim=1)
+    a = torch.nan_to_num(a) * mask.unsqueeze(-1)
+    out = (z[safe] * a.unsqueeze(-1)).sum(1)  # (dst, H, D)
+    return out.reshape(dst_cap, heads * out_dim)
+
+
+@pytest.mark.parametrize(
+    "heads,out_dim",
+    [
+        (4, 8),  # in_dim 16 <= H*D 32: the aggregate-first fast path
+        (2, 4),  # in_dim 16 >  H*D 8: the transform-first path
+    ],
+)
+def test_gat_forward_parity(rng, heads, out_dim):
+    blk = _random_block(rng, num_dst=20, num_src=60, fanout=5,
+                        dst_cap=32, src_cap=64)
+    h = rng.standard_normal((64, 16)).astype(np.float32)
+    conv = GATConv(out_dim=out_dim, num_heads=heads)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+    ours = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
+    theirs = _torch_gat(params["params"], h, blk.neigh, heads, out_dim)
     nd = int(blk.num_dst)
     np.testing.assert_allclose(
         ours[:nd], theirs.numpy()[:nd], rtol=1e-4, atol=1e-5
