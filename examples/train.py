@@ -82,6 +82,15 @@ def parse_args():
                         "--max-sampling-jobs/--max-copying-jobs analog)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leave the TPU untouched)")
+    p.add_argument("--gpu-extract", dest="gpu_extract", action="store_true",
+                   default=True,
+                   help="direct in-device feature extraction (the reference "
+                        "--gpu-extract read-through): the last layer keeps "
+                        "global ids and the model gathers features straight "
+                        "from the HBM table, skipping the final dedup+extract "
+                        "stage (default on; off when the store is tiered)")
+    p.add_argument("--no-gpu-extract", dest="gpu_extract",
+                   action="store_false")
     p.add_argument("--agg-impl", default=None, choices=["loop", "tiled"],
                    help="fanout-aggregation formulation (see PERF.md)")
     p.add_argument("--remat", action="store_true", default=False,
@@ -151,6 +160,7 @@ def main():
         cache_percentage=args.cache_percentage,
         presample_epoch=args.presample_epoch,
         pipeline=args.pipeline,
+        gpu_extract=args.gpu_extract,
         device_loop=args.device_loop,
         remat=args.remat,
         report_acc=args.report_acc,
