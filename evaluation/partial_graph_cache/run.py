@@ -50,6 +50,10 @@ def main():
     else:
         import jax
 
+    # node-access analytics must be on BEFORE engine init: the fused
+    # all-HBM program only emits its frontier if built in logging mode
+    os.environ["XGNN_LOG_NODE_ACCESS"] = "1"
+
     from xgnn_tpu import RunConfig, synthetic
     from xgnn_tpu.engine.multi_engine import MultiChipEngine
 
@@ -77,7 +81,6 @@ def main():
             pipeline=True, num_epoch=args.epochs, root_path="/tmp",
         )
         eng = MultiChipEngine(ds, config).init()
-        eng.profiler.enable_node_access_log()
         eng.train_epoch(0)  # warm-up/compile
         t0 = time.perf_counter()
         r = eng.train_epoch(1)

@@ -154,3 +154,23 @@ def test_cpp_weights_and_rankings(tmp_path, tiny_ds):
     assert set(rank[: len(tiny_ds.train_set)].tolist()) == set(
         np.unique(tiny_ds.train_set).tolist()
     )
+
+
+def test_degree_hop_ranking_trailing_zero_degree():
+    """Exact neighbor-degree sums, including graphs whose LAST nodes have
+    zero out-degree (reduceat's clipped-start variant truncated the
+    preceding node's segment: indptr=[0,1,3,3] scored node1 as 1, not 2)."""
+    from types import SimpleNamespace
+
+    from xgnn_tpu.store.ranking import _rank_by_degree_hop
+
+    indptr = np.array([0, 1, 3, 3], np.int64)
+    indices = np.array([1, 0, 0], np.int32)
+    deg = np.array([1, 2, 0], np.int64)
+    ds = SimpleNamespace(
+        indptr=indptr, indices=indices, degrees=deg,
+        num_node=3, num_edge=3,
+    )
+    order = _rank_by_degree_hop(ds)
+    # scores: node0 = 1 + deg[1] = 3; node1 = 2 + deg[0]+deg[0] = 4; node2 = 0
+    assert order.tolist() == [1, 0, 2]

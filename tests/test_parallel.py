@@ -566,3 +566,75 @@ def test_hierarchical_dcn_mesh_engine(small_ds):
     # evaluation over the hierarchical mesh
     acc = eng.evaluate("valid", max_batches=1)
     assert np.isfinite(acc) and 0.0 <= acc <= 1.0
+
+
+def test_ragged_lanes_weighted_metrics(learn_ds):
+    """Empty shuffler lanes must not dilute metrics or gradients: 5 train
+    seeds over 8 workers (batch 1) leaves lanes 5..7 empty every step.  The
+    seed-count-weighted reduction reports acc over REAL seeds only — an
+    unweighted lane mean can never exceed live/P = 0.625 here."""
+    import dataclasses
+
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    ds = dataclasses.replace(learn_ds, train_set=learn_ds.train_set[:5])
+    config = RunConfig(
+        batch_size=1, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=True, cache_percentage=1.0,
+        num_epoch=30, lr=0.05, dropout=0.0, root_path="/tmp",
+    )
+    eng = MultiChipEngine(ds, config).init()
+    accs = [eng.train_epoch(e)["train_acc"] for e in range(config.num_epoch)]
+    assert all(np.isfinite(a) for a in accs)
+    assert max(accs) > 0.75, f"lane dilution suspected: max acc {max(accs)}"
+
+
+def test_host_cold_sampler_zero_degree_tail():
+    """A cold node at the CSR tail with zero out-degree has start == num_edge;
+    every algorithm must return EMPTY rows for it without reading out of
+    bounds (indices/prob/alias/prefix are edge-aligned arrays)."""
+    from xgnn_tpu.config import SampleType
+    from xgnn_tpu.parallel.ggms import HostColdSampler
+
+    indptr = np.array([0, 2, 2], np.int64)
+    indices = np.array([1, 0], np.int32)
+    prob = np.array([1.0, 1.0], np.float32)
+    alias = np.array([1, 0], np.int32)
+    prefix = np.array([1.0, 2.0], np.float32)
+    key = np.zeros(4, np.uint32)
+    for st in (SampleType.KHOP0, SampleType.KHOP3, SampleType.WEIGHTED_KHOP,
+               SampleType.WEIGHTED_KHOP_PREFIX):
+        hs = HostColdSampler(indptr, indices, st, prob_table=prob,
+                             alias_table=alias, prob_prefix_table=prefix)
+        out = hs(np.array([1, 0], np.int32), key, 3)
+        assert np.all(out[0] == EMPTY_KEY)          # zero-degree node
+        # real node: picks from its neighbors (khop0 pads fanout>degree
+        # with EMPTY — without-replacement semantics)
+        assert np.all(np.isin(out[1], [0, 1, EMPTY_KEY]))
+        assert np.any(out[1] != EMPTY_KEY)
+
+
+def test_multi_chip_node_access_log_fused(small_ds, monkeypatch):
+    """Node-access analytics through the FUSED all-HBM path: the program is
+    built in logging mode (env set before init) and emits its frontier."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    monkeypatch.setenv("XGNN_LOG_NODE_ACCESS", "1")
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=True, cache_percentage=1.0,
+        num_epoch=1, lr=0.01, root_path="/tmp",
+    )
+    eng = MultiChipEngine(small_ds, config).init()
+    assert not eng.two_phase
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    freq = eng.profiler.node_access_frequency()
+    assert len(freq) > 0 and sum(c for _, c in freq) > 0
+    # XGNN_LOG_NODE_ACCESS=0 must mean OFF (bool('0') is True — regression)
+    monkeypatch.setenv("XGNN_LOG_NODE_ACCESS", "0")
+    from xgnn_tpu.profiler import Profiler
+
+    assert not Profiler()._log_node_access

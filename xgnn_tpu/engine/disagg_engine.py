@@ -97,9 +97,16 @@ class DisaggregatedEngine:
             ):
                 # presample rides sampler chip 0 (reference: worker 0
                 # presamples, dist_engine.cc:453-469)
+                sampler = self.svc.samplers[0]
+                if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
+                    from ..sampler import Sampler
+                    from ..store.presample import static_presample_config
+
+                    sampler = Sampler(
+                        sampler.graph, static_presample_config(cfg)
+                    )
                 access_freq = presample_ranking(
-                    self.svc.samplers[0], self.ds.train_set, cfg,
-                    self.ds.num_node,
+                    sampler, self.ds.train_set, cfg, self.ds.num_node,
                 )
             ranking = build_ranking(self.ds, cfg, access_freq)
         self._ranking = ranking

@@ -244,18 +244,9 @@ class Engine:
             t0 = time.perf_counter()
             sampler = self.sampler
             if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
-                # all-neighbor expansion presample (DoGPUSampleAllNeighbour):
-                # khop0 at a wide static fanout emits every neighbor once
-                # for nodes with degree <= fanout
-                import dataclasses as _dc
+                from ..store.presample import static_presample_config
 
-                scfg = _dc.replace(
-                    cfg,
-                    sample_type=SampleType.KHOP0,
-                    fanout=(cfg.presample_static_fanout,) * cfg.num_fanout,
-                    frontier_capacities=None,
-                )
-                sampler = Sampler(self.graph, scfg)
+                sampler = Sampler(self.graph, static_presample_config(cfg))
             access_freq = presample_ranking(
                 sampler, self.ds.train_set, cfg, self.graph.num_node
             )

@@ -34,7 +34,7 @@ import numpy as np
 from .. import clib
 from .. import constants as C
 from .. import profiler as P
-from ..config import CachePolicy, RunConfig, SampleType
+from ..config import CachePolicy, RunConfig
 from ..models import build_model
 from ..parallel.collocated import (
     make_collocated_train_step,
@@ -347,10 +347,15 @@ class MultiChipEngine:
             self._fn_b = make_combine_train_step(self.model, cfg, self.mesh)
             self._fn_eval = make_eval_step(self.model, self.mesh)
         else:
+            # node-access analytics needs the fused program to emit its
+            # frontier (captured at build time: enable via env or
+            # enable_node_access_log() BEFORE init)
+            self._emit_access = self.profiler._log_node_access
             self.step_fn = make_collocated_train_step(
                 self.model, cfg, self.mesh, self.capacities, self.seg_cap,
                 use_dist_graph=cfg.use_dist_graph,
                 dcn_axis=DCN_AXIS if self.num_groups > 1 else None,
+                emit_input_nodes=self._emit_access,
             )
             self._fn_eval = make_fused_eval_step(
                 self.model, cfg, self.mesh, self.capacities, self.seg_cap,
@@ -428,14 +433,9 @@ class MultiChipEngine:
                     cfg, self.mesh, capacities, seg_cap,
                     use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
                 )
-            import dataclasses as _dc
+            from ..store.presample import static_presample_config
 
-            scfg = _dc.replace(
-                cfg,
-                sample_type=SampleType.KHOP0,
-                fanout=(cfg.presample_static_fanout,) * cfg.num_fanout,
-                frontier_capacities=None,
-            )
+            scfg = static_presample_config(cfg)
             scaps = default_capacities(
                 cfg.batch_size, _layer_fanouts(scfg), self.ds.num_node
             )
@@ -648,7 +648,13 @@ class MultiChipEngine:
         num_steps = max(s.num_local_step for s in shufflers)
         base_key = jax.random.fold_in(jax.random.key(cfg.seed ^ 0xD1), epoch)
 
-        if cfg.device_loop and not self.two_phase:
+        if (
+            cfg.device_loop
+            and not self.two_phase
+            and not self.profiler._log_node_access
+        ):
+            # node-access logging needs per-step host pulls, which the
+            # scanned epoch has none of — fall back to the host loop
             return self._train_epoch_fused(epoch, iters, num_steps, base_key)
 
         losses, accs, overflows = [], [], []
@@ -711,7 +717,7 @@ class MultiChipEngine:
                 )
                 if cfg.dump_trace:
                     self.profiler.trace_begin(epoch, step, "train")
-                self.state, metrics = self.step_fn(
+                outs = self.step_fn(
                     self.state,
                     self.topo,
                     self.feat_parts,
@@ -721,6 +727,14 @@ class MultiChipEngine:
                     self._put_batch(keys),
                     self._put_batch(dkeys),
                 )
+                if getattr(self, "_emit_access", False):
+                    self.state, metrics, access = outs
+                    ids = np.asarray(access["input_nodes"]).reshape(p, -1)
+                    nin = np.asarray(access["num_input"]).reshape(p)
+                    for w in range(p):
+                        self.profiler.log_node_access(ids[w, : int(nin[w])])
+                else:
+                    self.state, metrics = outs
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
                 overflows.append(metrics["exchange_overflow"])

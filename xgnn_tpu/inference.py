@@ -87,7 +87,9 @@ def full_graph_inference(
         else:
             h = fn(layer_params, indptr, indices, h, num_node, chunk)
         if i != model.num_layers - 1:
-            h = jax.nn.relu(h)
+            # same inter-layer activation as training (models/gnn.py):
+            # reference GAT uses F.elu (train_gat.py:59), the rest ReLU
+            h = jax.nn.elu(h) if model.conv == "gat" else jax.nn.relu(h)
     return h
 
 

@@ -144,9 +144,15 @@ def make_collocated_train_step(
     axis_name: str = DATA_AXIS,
     use_dist_graph: bool = False,
     dcn_axis=None,
+    emit_input_nodes: bool = False,
 ):
     """Build the fused SPMD train step (100% of features/labels interleaved
     in HBM — the reference's part-cache at cache_percentage=1).
+
+    ``emit_input_nodes``: also return per-lane ``{input_nodes, num_input}``
+    (node-access analytics mode — the fused path has no other host-visible
+    frontier; costs one extra D2H per step, like the reference's
+    ``Profiler::LogNodeAccess``).
 
     With ``dcn_axis`` set (hierarchical mesh from ``make_mesh_2d``), the
     store shards over ``axis_name`` (ICI) and replicates across ``dcn_axis``
@@ -203,9 +209,17 @@ def make_collocated_train_step(
         (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
         )
-        grads = jax.lax.pmean(grads, grad_axes)
-        loss = jax.lax.pmean(loss, grad_axes)
-        acc = jax.lax.pmean(acc, grad_axes)
+        # seed-count-weighted cross-lane reduction (NOT pmean): a lane whose
+        # shuffler shard is exhausted carries num_output=0 — an unweighted
+        # mean would average its loss=0/acc=0 into the metrics and dilute
+        # the gradient by live_lanes/P on ragged last steps
+        w = batch.num_output.astype(jnp.float32)
+        wsum = jnp.maximum(jax.lax.psum(w, grad_axes), 1.0)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g * w, grad_axes) / wsum, grads
+        )
+        loss = jax.lax.psum(loss * w, grad_axes) / wsum
+        acc = jax.lax.psum(acc * w, grad_axes) / wsum
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         keep = lambda old, new: jax.tree.map(
@@ -232,8 +246,22 @@ def make_collocated_train_step(
             for ax in grad_axes:
                 flags = jax.lax.pmax(flags, ax)
             metrics["sanity"] = flags
+        if emit_input_nodes:
+            access = {
+                "input_nodes": batch.input_nodes[None],
+                "num_input": batch.num_input.reshape(1),
+            }
+            return new_state, metrics, access
         return new_state, metrics
 
+    access_spec = (
+        PS(axis_name) if dcn_axis is None else PS((dcn_axis, axis_name))
+    )
+    out_specs = (
+        (PS(), PS(), {"input_nodes": access_spec, "num_input": access_spec})
+        if emit_input_nodes
+        else (PS(), PS())
+    )
     sharded = shard_map(
         per_chip,
         mesh=mesh,
@@ -248,7 +276,7 @@ def make_collocated_train_step(
             batch_spec,  # sample keys
             batch_spec,  # dropout keys
         ),
-        out_specs=(PS(), PS()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
@@ -379,9 +407,14 @@ def make_combine_train_step(
         (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
         )
-        grads = jax.lax.pmean(grads, axis_name)
-        loss = jax.lax.pmean(loss, axis_name)
-        acc = jax.lax.pmean(acc, axis_name)
+        # seed-count-weighted reduction — see make_collocated_train_step
+        w = num_output.astype(jnp.float32)
+        wsum = jnp.maximum(jax.lax.psum(w, axis_name), 1.0)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g * w, axis_name) / wsum, grads
+        )
+        loss = jax.lax.psum(loss * w, axis_name) / wsum
+        acc = jax.lax.psum(acc * w, axis_name) / wsum
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         keep = lambda old, new: jax.tree.map(

@@ -129,9 +129,16 @@ def make_disagg_train_step(
         (loss, acc), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
         )
-        grads = jax.lax.pmean(grads, axis_name)
-        loss = jax.lax.pmean(loss, axis_name)
-        acc = jax.lax.pmean(acc, axis_name)
+        # seed-count-weighted cross-trainer reduction (NOT pmean): a trainer
+        # handed an empty/short batch on the ragged last step must not
+        # average loss=0/acc=0 into the metrics or dilute the gradient
+        w = num_output.astype(jnp.float32)
+        wsum = jnp.maximum(jax.lax.psum(w, axis_name), 1.0)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g * w, axis_name) / wsum, grads
+        )
+        loss = jax.lax.psum(loss * w, axis_name) / wsum
+        acc = jax.lax.psum(acc * w, axis_name) / wsum
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         keep = lambda old, new: jax.tree.map(

@@ -221,9 +221,15 @@ class HostColdSampler:
         valid = (ids != EMPTY) & (ids >= 0) & (ids < self.num_node)
         if not valid.any():
             return out
+        if len(self.indices) == 0:
+            return out
         v = ids[valid].astype(np.int64)
         start = self.indptr[v].astype(np.int64)
         deg = self.indptr[v + 1].astype(np.int64) - start
+        # zero-degree nodes at the CSR tail have start == num_edge; their
+        # reads are masked to EMPTY below, but the gathers themselves must
+        # stay in bounds (indices/prob/alias/prefix are edge-aligned)
+        start = np.minimum(start, len(self.indices) - 1)
         kd = np.asarray(keydata).astype(np.uint64).ravel()
         salt = 0  # FNV-style fold of the key words (python ints: no overflow)
         for w in kd:

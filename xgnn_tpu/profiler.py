@@ -52,8 +52,8 @@ class Profiler:
 
         from . import constants as _C
 
-        self._log_node_access = bool(
-            os.environ.get(_C.ENV_LOG_NODE_ACCESS)
+        self._log_node_access = (
+            os.environ.get(_C.ENV_LOG_NODE_ACCESS, "") not in ("", "0")
         )
         self._prev_access: set = set()
         self._similarity: list = []  # (num_accessed, overlap_with_prev)
@@ -74,6 +74,11 @@ class Profiler:
 
     # --- node-access analytics (reference Profiler::LogNodeAccess) --------
     def enable_node_access_log(self):
+        """Turn on node-access analytics.  NOTE: the multi-chip fused
+        (all-HBM) program only emits its frontier if it was BUILT in logging
+        mode — enable via ``XGNN_LOG_NODE_ACCESS=1`` or call this before
+        ``MultiChipEngine.init()``.  The two-phase GGMS path, whose frontier
+        reaches the host every step anyway, honors late enabling too."""
         self._log_node_access = True
 
     def log_node_access(self, node_ids):

@@ -64,7 +64,11 @@ def _split_kernel(posmap, cache_feat, input_nodes, num_input):
     # compact miss positions to the front (stable: preserves order)
     perm = jnp.argsort(~miss, stable=True)  # misses (True→~False) first
     miss_pos = perm  # positions into input_nodes; first num_miss are misses
-    miss_ids = jnp.where(jnp.arange(n) < num_miss, input_nodes[miss_pos], 0)
+    # pad with EMPTY (not 0) so the host gather's ids<0 fast path skips the
+    # (bucket - num_miss) slack rows instead of fetching node 0 repeatedly
+    miss_ids = jnp.where(
+        jnp.arange(n) < num_miss, input_nodes[miss_pos], EMPTY
+    )
     # cached rows gathered immediately (overlaps with host miss gather)
     cached = jnp.take(cache_feat, jnp.where(hit, slots, 0), axis=0, mode="clip")
     cached = cached * hit[:, None].astype(cache_feat.dtype)

@@ -13,6 +13,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def static_presample_config(cfg):
+    """PRE_SAMPLE_STATIC presamples with an all-neighbor expansion instead
+    of the configured sampler (reference ``DoGPUSampleAllNeighbour``,
+    ``dist/pre_sampler.cc:188-210``): KHOP0 at a wide static fanout emits
+    every neighbor exactly once for nodes with degree <= fanout.  Shared by
+    all three engines so the policy ranks identically across them."""
+    import dataclasses
+
+    from ..config import SampleType
+
+    return dataclasses.replace(
+        cfg,
+        sample_type=SampleType.KHOP0,
+        fanout=(cfg.presample_static_fanout,) * cfg.num_fanout,
+        frontier_capacities=None,
+    )
+
+
 @jax.jit
 def _accumulate(freq, input_nodes, num_input):
     n = input_nodes.shape[0]

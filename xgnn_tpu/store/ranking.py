@@ -50,16 +50,16 @@ def _rank_by_degree_hop(ds: Dataset) -> np.ndarray:
     """cache_by_degree_hop.cc: degree of node + summed neighbor degrees
     (2-hop reach proxy)."""
     deg = ds.degrees.astype(np.int64)
-    # reduceat index == len(array) raises; clip trailing zero-degree starts
-    # and rely on the deg==0 fixup below
-    starts = np.minimum(
-        ds.indptr[:-1].astype(np.int64), max(ds.num_edge - 1, 0)
-    )
+    # exact segment sums via prefix sums (reduceat mishandles zero-length
+    # trailing segments: clipping its starts truncates the previous segment)
     if ds.num_edge == 0:
         nbr_deg = np.zeros(ds.num_node, np.int64)
     else:
-        nbr_deg = np.add.reduceat(deg[ds.indices], starts, dtype=np.int64)
-    nbr_deg[deg == 0] = 0
+        csum = np.concatenate(
+            ([0], np.cumsum(deg[ds.indices], dtype=np.int64))
+        )
+        ip = ds.indptr.astype(np.int64)
+        nbr_deg = csum[ip[1:]] - csum[ip[:-1]]
     score = deg + nbr_deg
     return np.argsort(-score, kind="stable").astype(np.int32)
 
