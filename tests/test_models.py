@@ -157,6 +157,20 @@ def test_gat_conv_oracle(rng, heads):
             )
 
 
+def test_gat_conv_acc_limit_per_pick_transform(rng):
+    """``acc_limit=0`` forces the per-pick-transform fallback (the (dst, H·D)
+    accumulator used when the aggregate-first (dst, H, in) accumulator would
+    exceed HBM); it must match the aggregate-first output bit-for-nearly."""
+    blk = make_block(rng)
+    h = rng.standard_normal((32, 8)).astype(np.float32)
+    big = GATConv(out_dim=6, num_heads=2)  # 8 <= 2*6: aggregate-first
+    params = big.init(jax.random.key(0), blk, jnp.asarray(h))
+    ref = np.asarray(big.apply(params, blk, jnp.asarray(h)))
+    small = GATConv(out_dim=6, num_heads=2, acc_limit=0)
+    out = np.asarray(small.apply(params, blk, jnp.asarray(h)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_gnn_stack_shapes(rng):
     blk0 = make_block(rng, num_dst=20, num_src=32, dst_cap=24, src_cap=32)
     blk1 = make_block(rng, num_dst=8, num_src=20, dst_cap=12, src_cap=24)

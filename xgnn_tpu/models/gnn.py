@@ -203,6 +203,10 @@ class GATConv(nn.Module):
     num_heads: int = 1
     negative_slope: float = 0.2
     param_dtype: Any = jnp.float32
+    # aggregate-first keeps a (dst, H, in) accumulator; beyond this element
+    # count (default 1.6 GB f32 — many heads × a full-graph-scale frontier)
+    # fall back to transforming each pick so the accumulator is (dst, H·D)
+    acc_limit: int = 400_000_000
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
@@ -246,9 +250,21 @@ class GATConv(nn.Module):
                 rows = jnp.take(feat, idx[:, k], axis=0, mode="clip")
                 out = out + rows * a[:, k, :, None]
             return out.reshape(block.dst_cap, h * d)
+        acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else el.dtype
+        if block.dst_cap * h * in_dim > self.acc_limit:
+            # per-pick transform: same gathers, but each pick is pushed
+            # through the kernel immediately so the accumulator is
+            # (dst, H, D) instead of (dst, H, in_dim) — K matmuls instead of
+            # one, bought for an H·in/(H·D)-fold smaller live accumulator
+            k2 = kernel.astype(acc_dt).reshape(in_dim, h * d)
+            out = jnp.zeros((block.dst_cap, h, d), acc_dt)
+            for k in range(block.fanout):
+                rows = jnp.take(h_src, idx[:, k], axis=0, mode="clip")
+                y = (rows.astype(acc_dt) @ k2).reshape(-1, h, d)
+                out = out + y * a[:, k, :, None]
+            return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
         # aggregate first: gather input-width rows ONCE per pick (shared by
         # all heads), per-head matmul over dst rows only
-        acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else el.dtype
         agg = jnp.zeros((block.dst_cap, h, in_dim), acc_dt)
         for k in range(block.fanout):
             rows = jnp.take(h_src, idx[:, k], axis=0, mode="clip")
