@@ -18,7 +18,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from xgnn_tpu.constants import EMPTY_KEY  # noqa: E402
-from xgnn_tpu.models import GATConv, GCNConv, SAGEConv  # noqa: E402
+from xgnn_tpu.models import GATConv, GCNConv, PinSAGEConv, SAGEConv  # noqa: E402
 from xgnn_tpu.types import Block  # noqa: E402
 
 
@@ -96,6 +96,40 @@ def test_gcn_forward_parity(rng):
     agg = msgs.sum(1)
     in_deg = mask.sum(1).float()
     theirs = agg / in_deg.clamp(min=1).sqrt().unsqueeze(-1) + b
+
+    nd = int(blk.num_dst)
+    np.testing.assert_allclose(
+        ours[:nd], theirs.numpy()[:nd], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pinsage_forward_parity(rng):
+    """PinSAGE = SAGE with visit-count edge weights from the random-walk
+    sampler (reference ``TrainGraph::data``); torch twin uses a weighted
+    mean over the dense fanout block."""
+    blk = _random_block(rng, num_dst=20, num_src=60, fanout=5,
+                        dst_cap=32, src_cap=64)
+    wts = (rng.random((32, 5)).astype(np.float32) + 0.5) * np.asarray(
+        blk.neigh != EMPTY_KEY
+    )
+    blk = Block(neigh=blk.neigh, num_dst=blk.num_dst, num_src=blk.num_src,
+                weights=jnp.asarray(wts))
+    h = rng.standard_normal((64, 16)).astype(np.float32)
+    conv = PinSAGEConv(out_dim=8)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+    ours = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
+
+    w_self = torch.from_numpy(np.asarray(params["params"]["Dense_0"]["kernel"]))
+    w_neigh = torch.from_numpy(np.asarray(params["params"]["Dense_1"]["kernel"]))
+    b = torch.from_numpy(np.asarray(params["params"]["Dense_1"]["bias"]))
+    ht = torch.from_numpy(h)
+    n = torch.from_numpy(np.asarray(blk.neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    w = torch.from_numpy(wts) * mask
+    rows = ht[safe] * w.unsqueeze(-1)
+    mean = rows.sum(1) / w.sum(1, keepdim=True).clamp(min=1e-9)
+    theirs = ht[: mean.shape[0]] @ w_self + mean @ w_neigh + b
 
     nd = int(blk.num_dst)
     np.testing.assert_allclose(
