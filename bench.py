@@ -131,8 +131,10 @@ def main():
             open(BASELINE_FILE, "w"),
         )
 
+    heads = int(os.environ.get("XGNN_BENCH_HEADS", "1"))
+    model_tag = f"{model}_h{heads}" if heads > 1 else model
     print(json.dumps({
-        "metric": f"{model}_products_edges_per_sec",
+        "metric": f"{model_tag}_products_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(vs_baseline, 4),
