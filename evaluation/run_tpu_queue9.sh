@@ -9,13 +9,16 @@ set -x
 cd "$(dirname "$0")/.."
 
 echo "=== waiting for TPU ==="
-until timeout 300 python -c "
+# Gentle cadence: killing a hung TPU client is itself what prolongs a
+# wedge in this environment, so probe with a LONG timeout and a LONG gap
+# rather than hammering every few minutes.
+until timeout 900 python -c "
 import jax, numpy as np
 x = jax.numpy.arange(8.0)
 print('probe ok:', np.asarray((x*2).sum()))
 "; do
-  echo "tpu still down; retrying in 120s"
-  sleep 120
+  echo "tpu still down; retrying in 600s"
+  sleep 600
 done
 
 echo "=== TPU is back; running queue8 ==="
