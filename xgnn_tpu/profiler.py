@@ -249,6 +249,10 @@ class Profiler:
         nodes = self.step_sum_per_epoch(L1_NUM_NODE)
         if nodes is not None:
             out["epoch:sample_nodes"] = nodes
+            # M sampled-nodes/s (reference train_gcn.py:353-356)
+            st = out.get("epoch_time:sample_total")
+            if st:
+                out["epoch:sample_thpt"] = nodes / st / 1e6
         times = [
             out.get(k, 0.0)
             for k in ("epoch_time:sample_total", "epoch_time:copy_time", "epoch_time:train_total")
