@@ -170,6 +170,18 @@ def test_gat_conv_acc_limit_per_pick_transform(rng):
     out = np.asarray(small.apply(params, blk, jnp.asarray(h)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
+    # the bench trains through this path: gradients must agree too
+    def loss(conv, p):
+        o = conv.apply(p, blk, jnp.asarray(h))
+        return jnp.sum(o[: int(blk.num_dst)] ** 2)
+
+    g_ref = jax.grad(lambda p: loss(big, p))(params)["params"]
+    g_out = jax.grad(lambda p: loss(small, p))(params)["params"]
+    for k in ("kernel", "attn_l", "attn_r"):
+        np.testing.assert_allclose(
+            np.asarray(g_out[k]), np.asarray(g_ref[k]), rtol=1e-4, atol=1e-5
+        )
+
 
 def test_gnn_stack_shapes(rng):
     blk0 = make_block(rng, num_dst=20, num_src=32, dst_cap=24, src_cap=32)
