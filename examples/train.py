@@ -99,6 +99,10 @@ def parse_args():
     p.add_argument("--feat-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="on-device feature-table storage dtype")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="model activation dtype; bfloat16 routes matmuls "
+                        "through the bf16 MXU path with f32 accumulation")
     return p.parse_args()
 
 
@@ -134,6 +138,8 @@ def main():
         extra["agg_impl"] = args.agg_impl
     if args.feat_dtype is not None:
         extra["feat_dtype"] = args.feat_dtype
+    if args.compute_dtype is not None:
+        extra["compute_dtype"] = args.compute_dtype
     config = RunConfig(
         model=args.model,
         dataset=args.dataset,

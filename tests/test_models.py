@@ -183,6 +183,24 @@ def test_gat_conv_acc_limit_per_pick_transform(rng):
         )
 
 
+def test_gat_conv_bf16_activations_close_to_f32(rng):
+    """bf16 activations route every GAT matmul through the mixed-precision
+    dot (bf16 MXU operands, f32 accumulation) — all three branches must stay
+    within bf16 rounding of the f32 result, and output dtype stays f32."""
+    blk = make_block(rng)
+    h = rng.standard_normal((32, 8)).astype(np.float32)
+    for heads, acc_limit in ((1, None), (2, None), (2, 0)):
+        kw = {} if acc_limit is None else {"acc_limit": acc_limit}
+        conv = GATConv(out_dim=6, num_heads=heads, **kw)
+        params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+        ref = np.asarray(conv.apply(params, blk, jnp.asarray(h)))
+        out_bf = conv.apply(params, blk, jnp.asarray(h, jnp.bfloat16))
+        assert out_bf.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(out_bf), ref, rtol=3e-2, atol=3e-2
+        )
+
+
 def test_gnn_stack_shapes(rng):
     blk0 = make_block(rng, num_dst=20, num_src=32, dst_cap=24, src_cap=32)
     blk1 = make_block(rng, num_dst=8, num_src=20, dst_cap=12, src_cap=24)

@@ -182,6 +182,19 @@ class GCNConv(nn.Module):
         return agg
 
 
+def _mp_dot(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Matmul keeping bf16 operands on the MXU bf16 path with f32
+    accumulation (``preferred_element_type``) instead of letting dtype
+    promotion silently upcast to a f32 matmul — on TPU the bf16 systolic
+    path is several× the f32 rate, and the f32 accumulator preserves the
+    reduction precision."""
+    if x.dtype == jnp.bfloat16:
+        return jnp.matmul(
+            x, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+    return x @ w
+
+
 class GATConv(nn.Module):
     """Graph attention (DGL ``GATConv`` semantics, sampled-block edition).
 
@@ -223,8 +236,8 @@ class GATConv(nn.Module):
         wr = jnp.einsum("ihd,hd->ih", kernel, attn_r)
         # bf16-stored features promote inside the matmuls — no full-width
         # astype pass over the src table
-        el = h_src @ wl  # (src, H) — dst-side term
-        er = h_src @ wr  # (src, H) — src-side term
+        el = _mp_dot(h_src, wl)  # (src, H) — dst-side term
+        er = _mp_dot(h_src, wr)  # (src, H) — src-side term
 
         mask = block.mask
         idx = jnp.where(mask, block.neigh, 0)
@@ -244,7 +257,7 @@ class GATConv(nn.Module):
 
         if in_dim > h * d:
             # transform first (narrows the gather width — last layer)
-            feat = (h_src @ kernel.reshape(in_dim, h * d)).reshape(-1, h, d)
+            feat = _mp_dot(h_src, kernel.reshape(in_dim, h * d)).reshape(-1, h, d)
             out = jnp.zeros((block.dst_cap, h, d), feat.dtype)
             for k in range(block.fanout):
                 rows = jnp.take(feat, idx[:, k], axis=0, mode="clip")
@@ -256,11 +269,13 @@ class GATConv(nn.Module):
             # through the kernel immediately so the accumulator is
             # (dst, H, D) instead of (dst, H, in_dim) — K matmuls instead of
             # one, bought for an H·in/(H·D)-fold smaller live accumulator
-            k2 = kernel.astype(acc_dt).reshape(in_dim, h * d)
+            k2 = kernel.reshape(in_dim, h * d)
             out = jnp.zeros((block.dst_cap, h, d), acc_dt)
             for k in range(block.fanout):
                 rows = jnp.take(h_src, idx[:, k], axis=0, mode="clip")
-                y = (rows.astype(acc_dt) @ k2).reshape(-1, h, d)
+                # bf16 activations take the bf16 MXU path with f32
+                # accumulation (_mp_dot); f32 stays a plain f32 matmul
+                y = _mp_dot(rows, k2).astype(acc_dt).reshape(-1, h, d)
                 out = out + y * a[:, k, :, None]
             return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
         # aggregate first: gather input-width rows ONCE per pick (shared by
