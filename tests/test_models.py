@@ -166,21 +166,29 @@ def test_gat_conv_acc_limit_per_pick_transform(rng):
     big = GATConv(out_dim=6, num_heads=2)  # 8 <= 2*6: aggregate-first
     params = big.init(jax.random.key(0), blk, jnp.asarray(h))
     ref = np.asarray(big.apply(params, blk, jnp.asarray(h)))
-    small = GATConv(out_dim=6, num_heads=2, acc_limit=0)
-    out = np.asarray(small.apply(params, blk, jnp.asarray(h)))
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # acc_limit=0 + big mat_limit → the (dst, K, in) contraction form;
+    # acc_limit=0 + mat_limit=0 → the per-pick-transform loop
+    variants = {
+        "contraction": GATConv(out_dim=6, num_heads=2, acc_limit=0),
+        "per_pick": GATConv(out_dim=6, num_heads=2, acc_limit=0, mat_limit=0),
+    }
+    for name, small in variants.items():
+        out = np.asarray(small.apply(params, blk, jnp.asarray(h)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6, err_msg=name)
 
-    # the bench trains through this path: gradients must agree too
+    # the bench trains through these paths: gradients must agree too
     def loss(conv, p):
         o = conv.apply(p, blk, jnp.asarray(h))
         return jnp.sum(o[: int(blk.num_dst)] ** 2)
 
     g_ref = jax.grad(lambda p: loss(big, p))(params)["params"]
-    g_out = jax.grad(lambda p: loss(small, p))(params)["params"]
-    for k in ("kernel", "attn_l", "attn_r"):
-        np.testing.assert_allclose(
-            np.asarray(g_out[k]), np.asarray(g_ref[k]), rtol=1e-4, atol=1e-5
-        )
+    for name, small in variants.items():
+        g_out = jax.grad(lambda p: loss(small, p))(params)["params"]
+        for k in ("kernel", "attn_l", "attn_r"):
+            np.testing.assert_allclose(
+                np.asarray(g_out[k]), np.asarray(g_ref[k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{name}:{k}",
+            )
 
 
 def test_gat_conv_bf16_activations_close_to_f32(rng):

@@ -218,8 +218,11 @@ class GATConv(nn.Module):
     param_dtype: Any = jnp.float32
     # aggregate-first keeps a (dst, H, in) accumulator; beyond this element
     # count (default 1.6 GB f32 — many heads × a full-graph-scale frontier)
-    # fall back to transforming each pick so the accumulator is (dst, H·D)
+    # fall back to the (dst, K, in) contraction form, and beyond mat_limit
+    # (the materialized-picks cap, default 4.8 GB f32) to transforming each
+    # pick so the accumulator is (dst, H·D)
     acc_limit: int = 400_000_000
+    mat_limit: int = 1_200_000_000
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
@@ -265,6 +268,23 @@ class GATConv(nn.Module):
             return out.reshape(block.dst_cap, h * d)
         acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else el.dtype
         if block.dst_cap * h * in_dim > self.acc_limit:
+            if block.dst_cap * block.fanout * in_dim <= self.mat_limit:
+                # contraction form: materialize the gathered picks ONCE as
+                # (dst, K, in) and reduce over K inside a dot_general —
+                # the K-fold accumulation happens in registers (f32 MXU
+                # accumulators), not as K round-trips of a (dst, H, ·) HBM
+                # accumulator, and the gathered rows are shared by all H
+                # heads.  This is the many-head hot path (reference 8-head
+                # GAT, train_gat.py:73).
+                rows_all = jnp.take(h_src, idx, axis=0, mode="clip")
+                agg = jnp.einsum(
+                    "bkh,bki->bhi", a.astype(rows_all.dtype), rows_all,
+                    preferred_element_type=jnp.float32,
+                )
+                out = jnp.einsum(
+                    "bhi,ihd->bhd", agg.astype(acc_dt), kernel.astype(acc_dt)
+                )
+                return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
             # per-pick transform: same gathers, but each pick is pushed
             # through the kernel immediately so the accumulator is
             # (dst, H, D) instead of (dst, H, in_dim) — K matmuls instead of
