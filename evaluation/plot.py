@@ -272,8 +272,62 @@ def plot_ablation():
     _save(fig, "ablation")
 
 
+def plot_tiered():
+    rows = _read_commented_tsv(os.path.join(HERE, "tiered", "results.tsv"))
+    rows = [r for r in rows if r["mode"] == "tpu"] or rows
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(7.5, 2.8))
+    labels = [f'{r["mode"]}\n{int(r["nodes"]) // 1000}k nodes' for r in rows]
+    a1.bar(labels, [float(r["hit_rate"]) for r in rows], width=0.5,
+           color=S1, edgecolor=SURFACE, linewidth=2)
+    a1.set_ylim(0, 1)
+    a1.set_ylabel("cache hit rate")
+    a1.set_title("Hit rate @ configured cache %", color=INK, loc="left",
+                 fontsize=10)
+    a2.bar(labels, [float(r["edges_per_sec"]) / 1e3 for r in rows],
+           width=0.5, color=S2, edgecolor=SURFACE, linewidth=2)
+    a2.set_ylabel("edges/s (thousands)")
+    a2.set_title("Out-of-core throughput", color=INK, loc="left", fontsize=10)
+    for a in (a1, a2):
+        a.grid(axis="x", visible=False)
+    fig.suptitle("Tiered store, features > HBM (miss H2D rides the "
+                 "tunnel here)", color=INK2, fontsize=9, y=1.02)
+    _save(fig, "tiered")
+
+
+def plot_microbench():
+    fig, axes = plt.subplots(1, 3, figsize=(11, 3.2))
+    panels = [
+        ("fanout_bench.tsv", "fanout aggregation", axes[0], _read_tsv),
+        ("sort_bench.tsv", "dedup sort strategies", axes[1], _read_tsv),
+        ("fetch_bench.tsv", "neighbor fetch", axes[2], _read_commented_tsv),
+    ]
+    for fname, title, ax, reader in panels:
+        rows = reader(os.path.join(HERE, "microbench", fname))
+        if fname == "fanout_bench.tsv":
+            # fwd+bwd rows only (the decision metric); fold shape into label
+            rows = [r for r in rows if "_fb_" in r["kernel"]]
+            names = [
+                r["kernel"].replace("_fb_", " ").replace("dst", "")
+                .replace("_k", "·K") for r in rows
+            ]
+        else:
+            names = [r.get("kernel") or r.get("variant") for r in rows]
+        vals = [float(r["time_ms"]) for r in rows]
+        ax.barh(names, vals, height=0.55, color=S1, edgecolor=SURFACE,
+                linewidth=2)
+        ax.invert_yaxis()
+        ax.set_xlabel("time (ms)")
+        ax.set_title(title, color=INK, loc="left", fontsize=10)
+        ax.grid(axis="y", visible=False)
+        ax.tick_params(axis="y", labelsize=7)
+    fig.tight_layout()
+    _save(fig, "microbench")
+
+
 PLOTS = {
     "overall": plot_overall,
+    "tiered": plot_tiered,
+    "microbench": plot_microbench,
     "cache_policy": plot_cache_policy,
     "scaling": plot_scaling,
     "time_to_acc": plot_time_to_acc,
