@@ -195,12 +195,27 @@ def _mp_dot(x: jax.Array, w: jax.Array) -> jax.Array:
     return x @ w
 
 
+def _mp_einsum(subscripts: str, x: jax.Array, w: jax.Array) -> jax.Array:
+    """:func:`_mp_dot` for einsum contractions (bf16 operands, f32 acc)."""
+    if x.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            subscripts, x, w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(subscripts, x, w)
+
+
 class GATConv(nn.Module):
     """Graph attention (DGL ``GATConv`` semantics, sampled-block edition).
 
     The "sequence" dimension of GAT is the fanout axis: SDDMM + edge-softmax
     + SpMM (reference SURVEY §5.7) collapses to a masked softmax over the
-    dense ``(dst, fanout)`` score matrix — no ragged segment ops.
+    dense ``(dst, fanout)`` score matrix — no ragged segment ops.  The loop
+    paths fuse all three into ONE pass over the picks with an online
+    (flash-attention-style) softmax: each pick's gathered rows produce both
+    the score and the payload, so there is no ``(src, H)`` score table and
+    no per-pick element gather of it (element gathers cost one HBM
+    transaction per H·4-byte row — the former hidden GAT cost).
 
     Like GCNConv, linearity is exploited to keep the transform off the src
     frontier: the attention projections fold into the kernel
@@ -237,75 +252,144 @@ class GATConv(nn.Module):
         # folded score projections: el = Σ_d (hW)·attn_l = h (W attn_l)
         wl = jnp.einsum("ihd,hd->ih", kernel, attn_l)  # (in, H)
         wr = jnp.einsum("ihd,hd->ih", kernel, attn_r)
-        # bf16-stored features promote inside the matmuls — no full-width
-        # astype pass over the src table
-        el = _mp_dot(h_src, wl)  # (src, H) — dst-side term
-        er = _mp_dot(h_src, wr)  # (src, H) — src-side term
 
         mask = block.mask
         idx = jnp.where(mask, block.neigh, 0)
-        # attention scores (dst, K, H): H is small, safe to materialize —
-        # only the feature gather is streamed below
-        er_k = jnp.stack(
-            [jnp.take(er, idx[:, k], axis=0, mode="clip") for k in range(block.fanout)],
-            axis=1,
-        )
-        e = _take_dst(block, el)[:, None, :] + er_k
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)  # (dst, K, H)
-        e = jnp.where(mask[..., None], e, -jnp.inf)
-        e_max = jnp.max(e, axis=1, keepdims=True)
-        e_max = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
-        a = jnp.exp(e - e_max) * mask[..., None]
-        a = a / jnp.maximum(jnp.sum(a, axis=1, keepdims=True), 1e-9)
+        # dst-side score term from DST rows only — with direct extract the
+        # src table is the whole feature store, so a full-frontier el/er
+        # matmul pair would read it twice per layer (bf16-stored features
+        # promote inside the matmul — no full-width astype pass)
+        el_dst = _mp_dot(_take_dst(block, h_src), wl)  # (dst, H)
+        acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else el_dst.dtype
 
+        # ---- path selection (same thresholds as the aggregation paths) ----
         if in_dim > h * d:
-            # transform first (narrows the gather width — last layer)
-            feat = _mp_dot(h_src, kernel.reshape(in_dim, h * d)).reshape(-1, h, d)
-            out = jnp.zeros((block.dst_cap, h, d), feat.dtype)
-            for k in range(block.fanout):
-                rows = jnp.take(feat, idx[:, k], axis=0, mode="clip")
-                out = out + rows * a[:, k, :, None]
-            return out.reshape(block.dst_cap, h * d)
-        acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else el.dtype
-        if block.dst_cap * h * in_dim > self.acc_limit:
-            if block.dst_cap * block.fanout * in_dim <= self.mat_limit:
-                # contraction form: materialize the gathered picks ONCE as
-                # (dst, K, in) and reduce over K inside a dot_general —
-                # the K-fold accumulation happens in registers (f32 MXU
-                # accumulators), not as K round-trips of a (dst, H, ·) HBM
-                # accumulator, and the gathered rows are shared by all H
-                # heads.  This is the many-head hot path (reference 8-head
-                # GAT, train_gat.py:73).
-                rows_all = jnp.take(h_src, idx, axis=0, mode="clip")
-                agg = jnp.einsum(
-                    "bkh,bki->bhi", a.astype(rows_all.dtype), rows_all,
-                    preferred_element_type=jnp.float32,
+            # transform first (narrows the gather width — last layer): the
+            # loop gathers TRANSFORMED rows, so the src-side score comes from
+            # those same rows ((hW)·attn_r == h·(W attn_r) exactly)
+            feat = _mp_dot(h_src, kernel.reshape(in_dim, h * d))
+
+            def score(rows):
+                return jnp.einsum(
+                    "bhd,hd->bh", rows.reshape(-1, h, d), attn_r.astype(rows.dtype)
                 )
-                out = jnp.einsum(
-                    "bhi,ihd->bhd", agg.astype(acc_dt), kernel.astype(acc_dt)
-                )
-                return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
-            # per-pick transform: same gathers, but each pick is pushed
-            # through the kernel immediately so the accumulator is
-            # (dst, H, D) instead of (dst, H, in_dim) — K matmuls instead of
-            # one, bought for an H·in/(H·D)-fold smaller live accumulator
-            k2 = kernel.reshape(in_dim, h * d)
-            out = jnp.zeros((block.dst_cap, h, d), acc_dt)
-            for k in range(block.fanout):
-                rows = jnp.take(h_src, idx[:, k], axis=0, mode="clip")
-                # bf16 activations take the bf16 MXU path with f32
-                # accumulation (_mp_dot); f32 stays a plain f32 matmul
-                y = _mp_dot(rows, k2).astype(acc_dt).reshape(-1, h, d)
-                out = out + y * a[:, k, :, None]
+
+            def payload(rows, w):
+                return rows.reshape(-1, h, d).astype(acc_dt) * w[:, :, None]
+
+            acc, s = self._online_attend(
+                feat, idx, mask, el_dst, (block.dst_cap, h, d), acc_dt,
+                score, payload,
+            )
+            out = acc / jnp.maximum(s, 1e-9)[:, :, None]
             return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
+
+        if (
+            block.dst_cap * h * in_dim > self.acc_limit
+            and block.dst_cap * block.fanout * in_dim <= self.mat_limit
+        ):
+            # contraction form: materialize the gathered picks ONCE as
+            # (dst, K, in); scores AND the K-fold reduction both read that
+            # buffer — no second gather, and the reduction happens in f32
+            # MXU accumulators instead of K round-trips of a (dst, H, ·)
+            # HBM accumulator.  Many-head hot path (reference 8-head GAT,
+            # train_gat.py:73).
+            rows_all = jnp.take(h_src, idx, axis=0, mode="clip")
+            er_k = _mp_einsum("bki,ih->bkh", rows_all, wr)
+            e = nn.leaky_relu(
+                el_dst[:, None, :] + er_k, negative_slope=self.negative_slope
+            )
+            e = jnp.where(mask[..., None], e, -jnp.inf)
+            e_max = jnp.max(e, axis=1, keepdims=True)
+            e_max = jax.lax.stop_gradient(
+                jnp.where(jnp.isfinite(e_max), e_max, 0.0)
+            )
+            a = jnp.exp(e - e_max) * mask[..., None]
+            a = a / jnp.maximum(jnp.sum(a, axis=1, keepdims=True), 1e-9)
+            agg = jnp.einsum(
+                "bkh,bki->bhi", a.astype(rows_all.dtype), rows_all,
+                preferred_element_type=jnp.float32,
+            )
+            out = jnp.einsum(
+                "bhi,ihd->bhd", agg.astype(acc_dt), kernel.astype(acc_dt)
+            )
+            return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
+
+        if block.dst_cap * h * in_dim > self.acc_limit:
+            # per-pick transform: each pick is pushed through the kernel
+            # immediately so the accumulator is (dst, H, D) instead of
+            # (dst, H, in) — K matmuls instead of one, bought for an
+            # H·in/(H·D)-fold smaller live accumulator
+            k2 = kernel.reshape(in_dim, h * d)
+
+            def score(rows):
+                return _mp_dot(rows, wr.astype(rows.dtype))
+
+            def payload(rows, w):
+                y = _mp_dot(rows, k2).astype(acc_dt).reshape(-1, h, d)
+                return y * w[:, :, None]
+
+            acc, s = self._online_attend(
+                h_src, idx, mask, el_dst, (block.dst_cap, h, d), acc_dt,
+                score, payload,
+            )
+            out = acc / jnp.maximum(s, 1e-9)[:, :, None]
+            return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
+
         # aggregate first: gather input-width rows ONCE per pick (shared by
         # all heads), per-head matmul over dst rows only
-        agg = jnp.zeros((block.dst_cap, h, in_dim), acc_dt)
-        for k in range(block.fanout):
-            rows = jnp.take(h_src, idx[:, k], axis=0, mode="clip")
-            agg = agg + rows[:, None, :].astype(acc_dt) * a[:, k, :, None]
+        def score(rows):
+            return _mp_dot(rows, wr.astype(rows.dtype))
+
+        def payload(rows, w):
+            return rows[:, None, :].astype(acc_dt) * w[:, :, None]
+
+        acc, s = self._online_attend(
+            h_src, idx, mask, el_dst, (block.dst_cap, h, in_dim), acc_dt,
+            score, payload,
+        )
+        agg = acc / jnp.maximum(s, 1e-9)[:, :, None]
         out = jnp.einsum("bhi,ihd->bhd", agg, kernel.astype(acc_dt))
         return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
+
+    def _online_attend(self, src_table, idx, mask, el_dst, acc_shape, acc_dt,
+                       score_fn, payload_fn):
+        """Single-pass masked edge-softmax aggregation (online softmax).
+
+        The two-pass form needs the src-side score ``er[idx]`` before the
+        aggregation loop — either a separate (src, H) projection gathered
+        per pick (element-transaction-bound: H·4-byte rows cost one HBM
+        transaction each, ~80M/s) or a second full gather of the feature
+        rows.  Instead this fuses SDDMM + edge-softmax + weighted SpMM into
+        ONE pass over the picks with flash-attention-style running
+        (max, sum, acc) rescaling: each pick's rows are gathered once and
+        used for both its score and its payload.  Exact softmax (not an
+        approximation); the running max is shift-invariant so it carries no
+        gradient (``stop_gradient``)."""
+        dst_cap, fanout = idx.shape
+        num_heads = el_dst.shape[1]
+        m = jnp.full((dst_cap, num_heads), -jnp.inf, acc_dt)
+        s = jnp.zeros((dst_cap, num_heads), acc_dt)
+        acc = jnp.zeros(acc_shape, acc_dt)
+        bshape = (dst_cap, num_heads) + (1,) * (len(acc_shape) - 2)
+        for k in range(fanout):
+            rows = jnp.take(src_table, idx[:, k], axis=0, mode="clip")
+            e = nn.leaky_relu(
+                el_dst + score_fn(rows).astype(el_dst.dtype),
+                negative_slope=self.negative_slope,
+            ).astype(acc_dt)
+            e = jnp.where(mask[:, k, None], e, -jnp.inf)
+            # the running max is a shift constant: it must be severed from
+            # the graph EVERYWHERE (a half-severed pair breaks the telescoping
+            # cancellation and corrupts the kernel gradient)
+            m_new = jnp.maximum(m, jax.lax.stop_gradient(e))
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            scale = jnp.exp(m - m_safe)
+            w = jnp.exp(e - m_safe)
+            s = s * scale + w
+            acc = acc * scale.reshape(bshape) + payload_fn(rows, w)
+            m = m_new
+        return acc, s
 
 
 _CONVS = {
@@ -338,6 +422,9 @@ class GNN(nn.Module):
     # (src_cap, hidden) activation, so this is an escape hatch for
     # unusually wide hidden dims / many-head GAT at huge frontiers
     remat: bool = False
+    # GAT path-selection thresholds (see GATConv); overridable for A/Bs
+    gat_acc_limit: int = 400_000_000
+    gat_mat_limit: int = 1_200_000_000
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], x: jax.Array, train: bool = False):
@@ -363,6 +450,8 @@ class GNN(nn.Module):
                 kwargs["num_heads"] = 1 if i == self.num_layers - 1 else self.num_heads
                 if i != self.num_layers - 1:
                     dim = self.hidden_dim // max(self.num_heads, 1)
+                kwargs["acc_limit"] = self.gat_acc_limit
+                kwargs["mat_limit"] = self.gat_mat_limit
             layer = conv_cls(out_dim=dim, name=f"{base_name}_{i}", **kwargs)
             h = layer(blocks[i], h)
             if i != self.num_layers - 1:
@@ -373,12 +462,16 @@ class GNN(nn.Module):
 
 
 def build_model(config, feat_dim: int, num_class: int) -> GNN:
+    import os
+
     del feat_dim
     name = config.model
     num_layers = (
         config.num_layer_pinsage if name == "pinsage" else config.num_layer
     )
     return GNN(
+        gat_acc_limit=int(os.environ.get("XGNN_GAT_ACC_LIMIT", 400_000_000)),
+        gat_mat_limit=int(os.environ.get("XGNN_GAT_MAT_LIMIT", 1_200_000_000)),
         conv=name,
         hidden_dim=config.num_hidden,
         out_dim=num_class,
