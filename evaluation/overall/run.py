@@ -24,6 +24,9 @@ CONFIGS = {
     "graphsage_khop3": BASE + ["--model", "graphsage", "--sample-type", "khop3"],
     "gcn_khop3": BASE + ["--model", "gcn", "--sample-type", "khop3"],
     "gat_khop3": BASE + ["--model", "gat", "--sample-type", "khop3"],
+    # reference GAT default is 8 heads (example/samgraph/train_gat.py:73)
+    "gat_h8_khop3": BASE + ["--model", "gat", "--sample-type", "khop3",
+                            "--num-head", "8"],
     "pinsage_rw": BASE + ["--model", "pinsage"],
     # sampling algorithm sweep on graphsage
     "graphsage_khop0": BASE + ["--model", "graphsage", "--sample-type", "khop0"],

@@ -51,6 +51,41 @@ def test_training_learns(learnable_ds, model):
     assert acc > 0.4
 
 
+def test_gat_multihead_learns(learnable_ds):
+    """8-head GAT (the reference train_gat.py default) through the full
+    engine: exercises the online-softmax aggregation end to end, including
+    the forced non-agg-first paths (acc/mat limits shrunk via env)."""
+    import os
+
+    os.environ["XGNN_GAT_ACC_LIMIT"] = "1"  # force beyond-acc_limit paths
+    try:
+        config = RunConfig(
+            batch_size=256,
+            fanout=(5, 5),
+            num_layer=2,
+            num_hidden=32,
+            num_head=8,
+            num_epoch=3,
+            model="gat",
+            sample_type="khop3",
+            cache_percentage=0.0,
+            pipeline=False,
+            lr=0.01,
+            dropout=0.1,
+            calibration_batches=2,
+            root_path="/tmp",
+        )
+        engine = Engine(learnable_ds, config).init()
+        r0 = engine.train_epoch(0)
+        engine.train_epoch(1)
+        r_last = engine.train_epoch(2)
+        assert np.isfinite(r0["loss"]) and np.isfinite(r_last["loss"])
+        assert r_last["loss"] < r0["loss"]
+        assert r_last["train_acc"] > 0.5, r_last
+    finally:
+        del os.environ["XGNN_GAT_ACC_LIMIT"]
+
+
 def test_pipeline_matches_sync(learnable_ds):
     common = dict(
         batch_size=256, fanout=(5, 5), num_layer=2, num_hidden=16,
