@@ -507,7 +507,7 @@ def make_fused_eval_step(
     Returned jitted fn::
 
         (params, topo, feat_parts, label_parts, seeds, num_seeds, keys)
-            -> (correct, total)
+            -> (correct, total, overflow)
     """
     fanouts = _layer_fanouts(config)
     caps = tuple(int(c) for c in capacities)
