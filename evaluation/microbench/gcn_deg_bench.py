@@ -4,11 +4,16 @@ src-scale full-table multiply — by timing each in isolation at bench shapes.
 
 The symmetric norm (DGL GraphConv ``norm='both'`` on sampled blocks,
 reference example models) REQUIRES per-block src out-degrees: the
-multiplicity of each src node among all picks, a 5M-element scatter-add into
-a 2.45M-node array.  TPU scatter is transaction-bound (~136M elem/s
-measured); sort+segment alternatives cost the same or more (a 5M-key sort
-alone is ~10 ms and the counts still need a scatter or an unsort).  This
-bench pins the attribution so the gap is explained, not mysterious.
+multiplicity of each src node among all picks.  Two formulations are timed
+head-to-head:
+
+- scatter: 5M-element scatter-add into a (2.45M,) table (transaction-bound,
+  ~136M elem/s) + the full-table ``src_scale`` multiply — cost grows with
+  the NODE table, which at small-batch shapes dominates the step;
+- sort (``ops/degree.pick_multiplicity``, the production path): two
+  streaming 2-op sorts over the picks + boundary fills — cost grows with
+  EDGES only, and the resulting per-pick weight rides ``fanout_reduce``'s
+  weights input so no table pass exists at all.
 
 Usage: python evaluation/microbench/gcn_deg_bench.py
 """
@@ -67,22 +72,35 @@ def main():
     def table_scale(feat, deg):
         return feat * (1.0 / jnp.sqrt(jnp.maximum(deg, 1.0)))[:, None]
 
+    from xgnn_tpu.ops.degree import pick_multiplicity
+
+    @jax.jit
+    def sort_counts(idx):
+        cnt = pick_multiplicity(idx)
+        return jax.lax.rsqrt(jnp.maximum(cnt.astype(jnp.float32), 1.0))
+
     deg = out_deg_scatter(idx, mask)
     t_scatter = timeit(out_deg_scatter, idx, mask)
     t_scale = timeit(table_scale, feat, deg)
+    t_sort = timeit(sort_counts, idx)
     rows = [
         ("out_deg_scatter_5M_into_2.45M", t_scatter,
          f"{dst * k / t_scatter / 1e6:.0f}M elem/s"),
         ("src_scale_table_pass_2.45Mx128", t_scale,
          f"{src * f * 4 * 2 / t_scale / 1e9:.0f} GB/s rw"),
-        ("sum_per_gcn_layer0", t_scatter + t_scale, ""),
+        ("sum_per_gcn_layer0_scatter_path", t_scatter + t_scale, ""),
+        ("pick_multiplicity_sort_path_5M", t_sort,
+         f"{dst * k / t_sort / 1e6:.0f}M elem/s"),
     ]
+    for name, t, rate in rows:
+        print(f"{name}\t{t*1e3:.2f} ms\t{rate}")
+    if "--small" in sys.argv:  # smoke run: don't stomp the recorded chip tsv
+        return
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "gcn_deg_bench.tsv")
     with open(out, "w") as fh:
         fh.write("name\ttime_s\trate\n")
         for name, t, rate in rows:
-            print(f"{name}\t{t*1e3:.2f} ms\t{rate}")
             fh.write(f"{name}\t{t:.6f}\t{rate}\n")
     print(f"wrote {out}")
 

@@ -130,3 +130,35 @@ def test_unique_seeded_packed_equivalent():
         )(ids)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+# pick_multiplicity (ops/degree.py): scatter-free bincount[neigh] per pick
+# ---------------------------------------------------------------------------
+
+from xgnn_tpu.ops.degree import pick_multiplicity
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "shape,vocab,empty_frac",
+    [((7, 5), 9, 0.0), ((64, 10), 40, 0.3), ((1, 3), 4, 0.9), ((16, 4), 2, 0.0)],
+)
+def test_pick_multiplicity_matches_bincount(seed, shape, vocab, empty_frac):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, vocab, shape).astype(np.int32)
+    ids[rng.random(shape) < empty_frac] = EMPTY_KEY
+
+    got = np.asarray(jax.jit(pick_multiplicity)(jnp.asarray(ids)))
+
+    flat = ids.reshape(-1)
+    valid = flat != EMPTY_KEY
+    bc = np.bincount(flat[valid], minlength=vocab)
+    want = np.where(valid, bc[np.where(valid, flat, 0)], 0).reshape(shape)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pick_multiplicity_all_empty():
+    ids = jnp.full((4, 3), EMPTY_KEY, jnp.int32)
+    got = np.asarray(jax.jit(pick_multiplicity)(ids))
+    np.testing.assert_array_equal(got, np.zeros((4, 3), np.int32))

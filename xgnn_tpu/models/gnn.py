@@ -147,31 +147,31 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
-        mask = block.mask
-        maskf = mask.astype(jnp.float32)  # degree counts must not round
-        # block-local degrees: src out-degree via scatter-count, dst in-degree
-        # via row mask sum
-        idx = jnp.where(mask, block.neigh, 0)
-        out_deg = (
-            jnp.zeros((h_src.shape[0],), jnp.float32)
-            .at[idx.reshape(-1)]
-            .add(maskf.reshape(-1), mode="drop")
-        )
+        maskf = block.mask.astype(jnp.float32)  # degree counts must not round
         in_deg = jnp.sum(maskf, axis=1)
+        # Block-local src out-degree, computed PER PICK (sort-based
+        # multiplicity, cost ~ edges) rather than as a (src_cap,) scatter
+        # table + full-table scale pass (cost ~ nodes): identical math —
+        # sum_k h[col_k]/sqrt(out_deg[col_k]) with the weight riding
+        # fanout_reduce's per-pick weights input — but no scatter and no
+        # node-table-proportional work (PERF.md "GCN degree pass").
+        from ..ops.degree import pick_multiplicity
+
+        cnt = pick_multiplicity(block.neigh).astype(jnp.float32)
+        w = jax.lax.rsqrt(jnp.maximum(cnt, 1.0))
 
         dense = nn.Dense(
             self.out_dim, use_bias=False, param_dtype=self.param_dtype
         )
-        src_scale = (1.0 / jnp.sqrt(jnp.maximum(out_deg, 1.0)))[:, None]
         if h_src.shape[1] > self.out_dim:
             # transform first: narrows the aggregation width (last layer)
-            h = dense(h_src) * src_scale
-            agg, _ = fanout_reduce(h, block, impl=self.agg_impl)
+            agg, _ = fanout_reduce(dense(h_src), block, weights=w,
+                                   impl=self.agg_impl)
         else:
             # aggregate first: matmul over dst rows only, gather in_dim-wide
             # rows (bf16-stored features keep their half-width gathers)
-            h = h_src * src_scale.astype(h_src.dtype)
-            agg, _ = fanout_reduce(h, block, impl=self.agg_impl)
+            agg, _ = fanout_reduce(h_src, block, weights=w,
+                                   impl=self.agg_impl)
             agg = dense(agg)
         agg = agg * (1.0 / jnp.sqrt(jnp.maximum(in_deg, 1.0)))[:, None]
         agg = agg + self.param(
