@@ -39,5 +39,8 @@ COLUMNS = [
 ]
 
 if __name__ == "__main__":
+    from evaluation.runner import cli_subset
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.tsv")
-    run_matrix(CONFIGS, COLUMNS, out)
+    configs, append = cli_subset(CONFIGS)
+    run_matrix(configs, COLUMNS, out, append=append)

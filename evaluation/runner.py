@@ -48,22 +48,29 @@ def run_matrix(
     out_path: str,
     append: bool = False,
 ):
-    """``append=True`` adds rows to an existing TSV (used to finish a matrix
-    across multiple sessions of a time-boxed device)."""
+    """``append=True`` merges rows into an existing TSV — a re-run of a name
+    replaces its old row in place (used to finish or refresh a matrix across
+    multiple sessions of a time-boxed device)."""
     rows = []
     for name, args in configs.items():
         print(f"=== running {name}: {' '.join(args)}", flush=True)
         res = run_config(args)
         rows.append((name, res))
         print(f"    -> { {c: res.get(c) for c in columns} }", flush=True)
-    header = not (append and os.path.exists(out_path))
-    with open(out_path, "a" if append else "w") as f:
-        if header:
-            f.write("name\t" + "\t".join(columns) + "\n")
-        for name, res in rows:
-            f.write(
-                name + "\t" + "\t".join(str(res.get(c, "")) for c in columns) + "\n"
-            )
+    fmt = {
+        name: name + "\t" + "\t".join(str(res.get(c, "")) for c in columns)
+        for name, res in rows
+    }
+    lines = []
+    if append and os.path.exists(out_path):
+        old = open(out_path).read().splitlines()[1:]
+        lines = [
+            fmt.pop(ln.split("\t", 1)[0], ln) for ln in old if ln.strip()
+        ]
+    lines += list(fmt.values())
+    with open(out_path, "w") as f:
+        f.write("name\t" + "\t".join(columns) + "\n")
+        f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}")
     return rows
 
