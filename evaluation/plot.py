@@ -26,6 +26,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # validated reference palette (light mode) — slots 1..3 + chrome tokens
 S1, S2, S3 = "#2a78d6", "#eb6834", "#1baf7a"  # blue / orange / aqua
+S4 = "#8c5ac8"  # violet — fused-epoch bars (no stage split)
 INK = "#0b0b0b"
 INK2 = "#52514e"
 MUTED = "#898781"
@@ -105,10 +106,20 @@ def plot_overall():
     fig, ax = plt.subplots(figsize=(7, 0.45 * len(rows) + 1.2))
     left = [0.0] * len(rows)
     for key, label, color in stages:
-        vals = [float(r[key]) for r in rows]
+        # device-loop rows are ONE fused program: no stage split exists
+        vals = [float(r[key] or 0.0) for r in rows]
         ax.barh(names, vals, left=left, height=0.55, color=color,
                 label=label, edgecolor=SURFACE, linewidth=2)
         left = [a + b for a, b in zip(left, vals)]
+    fused = [
+        float(r["epoch_time:total"]) - l if l == 0.0 else 0.0
+        for r, l in zip(rows, left)
+    ]
+    if any(fused):
+        ax.barh(names, fused, left=left, height=0.55, color=S4,
+                label="fused epoch (one program)", edgecolor=SURFACE,
+                linewidth=2)
+        left = [a + b for a, b in zip(left, fused)]
     for i, r in enumerate(rows):
         ax.text(left[i] + 0.03, i, f"{float(r['epoch_time:total']):.2f}s",
                 va="center", color=INK2, fontsize=9)

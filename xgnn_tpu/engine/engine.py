@@ -17,6 +17,7 @@ dist_engine.cc:91-700):
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from typing import Optional
 
@@ -384,8 +385,15 @@ class Engine:
 
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
-        if cfg.device_loop and self._fused_ok():
-            return self._train_epoch_fused(epoch)
+        if cfg.device_loop:
+            if self._fused_ok():
+                return self._train_epoch_fused(epoch)
+            if epoch == 0:
+                logging.getLogger(__name__).warning(
+                    "device_loop requested but ineligible (needs all-HBM "
+                    "features, no per-step host instrumentation); using the "
+                    "host-driven loop"
+                )
         shuffler = Shuffler(
             self.ds.train_set, cfg.batch_size, seed=cfg.seed + 1, num_worker=1
         )
