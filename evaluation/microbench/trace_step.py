@@ -60,6 +60,7 @@ def main():
         num_layer=len(fanout),
         num_hidden=hidden,
         model=model,
+        num_head=int(_arg("--heads", "1")),
         sample_type="khop3",
         cache_percentage=0.0,
         pipeline=False,  # serial loop: trace slices line up per step
@@ -117,6 +118,7 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             lane[(e["pid"], e["tid"])] = e["args"]["name"]
     by_op = defaultdict(float)
+    by_src = defaultdict(float)
     lanes_seen = defaultdict(float)
     for e in ev:
         if e.get("ph") != "X":
@@ -125,6 +127,10 @@ def main():
         lanes_seen[ln] += e.get("dur", 0)
         if ln == "XLA Ops":  # the device op stream ("Steps"/"XLA Modules"
             by_op[e["name"]] += e.get("dur", 0)  # lanes overlap it)
+            a = e.get("args") or {}
+            src = a.get("source", "?")
+            op = (a.get("tf_op", "") or "").split("/")[-1].rstrip(":")
+            by_src[f"{src}  [{op}]"] += e.get("dur", 0)
     if not by_op:
         # fall back: the busiest lane is the device op stream
         busiest = max(lanes_seen, key=lanes_seen.get)
@@ -137,8 +143,11 @@ def main():
                                                      key=lambda kv: -kv[1])[:6]))
     total = sum(by_op.values())
     print(f"# device op time {total/1e3/steps:.2f} ms/step over {steps} steps")
-    for name, t in sorted(by_op.items(), key=lambda kv: -kv[1])[:30]:
+    for name, t in sorted(by_op.items(), key=lambda kv: -kv[1])[:20]:
         print(f"{t/1e3/steps:9.3f} ms/step  {100*t/total:5.1f}%  {name[:110]}")
+    print("# by source line (op names collide across programs; this doesn't)")
+    for name, t in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{t/1e3/steps:9.3f} ms/step  {100*t/total:5.1f}%  {name[:120]}")
 
 
 if __name__ == "__main__":
