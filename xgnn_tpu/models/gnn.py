@@ -231,12 +231,15 @@ class GATConv(nn.Module):
     num_heads: int = 1
     negative_slope: float = 0.2
     param_dtype: Any = jnp.float32
-    # aggregate-first keeps a (dst, H, in) accumulator; beyond this element
-    # count (default 1.6 GB f32 — many heads × a full-graph-scale frontier)
-    # fall back to the (dst, K, in) contraction form, and beyond mat_limit
-    # (the materialized-picks cap, default 4.8 GB f32) to transforming each
-    # pick so the accumulator is (dst, H·D)
-    acc_limit: int = 400_000_000
+    # aggregate-first keeps a (dst, H, in) accumulator that round-trips HBM
+    # on every one of the K passes; beyond this element count switch to the
+    # (dst, K, in) contraction form (one materialization, MXU reductions),
+    # and beyond mat_limit (the materialized-picks cap, default 4.8 GB f32)
+    # to transforming each pick so the accumulator is (dst, H·D).  200M
+    # measured: the bench 8-head middle layer (dst 133k, K 10, in 256 —
+    # 273M accumulator elements) runs 11.6% faster end-to-end in contraction
+    # form than aggregate-first (PERF.md GAT path-selection A/B).
+    acc_limit: int = 200_000_000
     mat_limit: int = 1_200_000_000
 
     @nn.compact
@@ -423,7 +426,7 @@ class GNN(nn.Module):
     # unusually wide hidden dims / many-head GAT at huge frontiers
     remat: bool = False
     # GAT path-selection thresholds (see GATConv); overridable for A/Bs
-    gat_acc_limit: int = 400_000_000
+    gat_acc_limit: int = 200_000_000
     gat_mat_limit: int = 1_200_000_000
 
     @nn.compact
@@ -470,7 +473,7 @@ def build_model(config, feat_dim: int, num_class: int) -> GNN:
         config.num_layer_pinsage if name == "pinsage" else config.num_layer
     )
     return GNN(
-        gat_acc_limit=int(os.environ.get("XGNN_GAT_ACC_LIMIT", 400_000_000)),
+        gat_acc_limit=int(os.environ.get("XGNN_GAT_ACC_LIMIT", 200_000_000)),
         gat_mat_limit=int(os.environ.get("XGNN_GAT_MAT_LIMIT", 1_200_000_000)),
         conv=name,
         hidden_dim=config.num_hidden,
