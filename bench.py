@@ -63,13 +63,17 @@ def main():
     _env_flag = lambda name, default: (
         os.environ[name] == "1" if name in os.environ else default
     )
+    # PinSAGE is the random-walk path (2-layer model, walk-frequency
+    # neighbors) — the khop3 caps below don't apply, so let calibration size
+    # its frontiers
+    pinsage = model == "pinsage"
     config = RunConfig(
         batch_size=BATCH,
         fanout=FANOUT,
         num_layer=len(FANOUT),
         num_hidden=256,
         model=model,
-        sample_type="khop3",
+        sample_type="random_walk" if pinsage else "khop3",
         cache_percentage=0.0,  # feats fit in HBM on one chip
         pipeline=_env_flag("XGNN_BENCH_PIPELINE", True),
         num_epoch=EPOCHS,
@@ -82,8 +86,8 @@ def main():
         # pre-measured frontier capacities for this graph/fanout — a
         # sampling-shape property, model-independent (saves the calibration
         # compile; overflow-grow still protects correctness)
-        frontier_capacities=(BATCH, 133376, 1007360, 2449152),
-        calibration_batches=0,
+        frontier_capacities=None if pinsage else (BATCH, 133376, 1007360, 2449152),
+        calibration_batches=2 if pinsage else 0,
         remat=_env_flag("XGNN_BENCH_REMAT", False),
         root_path="/tmp",
         dataset="products_synth",

@@ -11,6 +11,7 @@ broadcast is needed.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from enum import Enum
 from typing import Optional, Sequence
@@ -202,6 +203,15 @@ class RunConfig:
         if isinstance(self.cache_policy, str):
             self.cache_policy = CachePolicy(self.cache_policy)
         self.fanout = tuple(int(f) for f in self.fanout)
+        if self.model == "pinsage" and self.sample_type != SampleType.RANDOM_WALK:
+            # PinSAGE is the random-walk path (reference train_pinsage.py):
+            # a khop sampler would emit num_layer blocks for a
+            # num_layer_pinsage-layer model — a shape mismatch at the loss
+            logging.getLogger(__name__).warning(
+                "model=pinsage requires random_walk sampling; overriding "
+                "sample_type=%s", self.sample_type,
+            )
+            self.sample_type = SampleType.RANDOM_WALK
         self._load_env()
 
     def _load_env(self):

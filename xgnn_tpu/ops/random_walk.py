@@ -58,16 +58,15 @@ def sample_random_walk(
     cur = seed2d
     visits = []
     for step in range(l):
-        key, k_step, k_restart, k_redraw = jax.random.split(key, 4)
-        nxt = _uniform_step(indptr, indices, cur, k_step)
+        key, k_step, k_restart = jax.random.split(key, 3)
         if step > 0:
+            # teleport BEFORE the single step (not step-then-redo): each
+            # walker takes exactly one uniform step from wherever the
+            # restart left it — the same distribution as drawing a step and
+            # replacing restarted draws, at HALF the indptr/indices gathers
             restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
             cur = jnp.where(restart, seed2d, cur)
-            # fresh key for the re-step: reusing k_step would correlate the
-            # restarted draw with the draw it replaces
-            nxt = jnp.where(
-                restart, _uniform_step(indptr, indices, cur, k_redraw), nxt
-            )
+        nxt = _uniform_step(indptr, indices, cur, k_step)
         visits.append(nxt)
         cur = jnp.where(nxt == EMPTY, seed2d, nxt)  # stuck walks restart
 
