@@ -48,9 +48,16 @@ def main():
     from xgnn_tpu.synthetic_device import make_device_dataset
 
     t0 = time.time()
+    sample_type = os.environ.get("XGNN_BENCH_SAMPLE_TYPE", "khop3")
+    if sample_type.startswith("weighted") and sample_type != "weighted_khop_prefix":
+        # only the prefix table has an on-device producer (alias construction
+        # is sequential per row — host datagen territory, cpp/convert.cpp)
+        print("# weighted bench uses the prefix variant", file=sys.stderr)
+        sample_type = "weighted_khop_prefix"
     ds = make_device_dataset(
         NUM_NODE, NUM_EDGE, FEAT_DIM, NUM_CLASS,
         train_frac=TRAIN_FRAC, seed=0, name="products_synth", dedup=False,
+        weighted=sample_type.startswith("weighted"),
     )
     print(f"# generated on-device: {ds.num_node} nodes {ds.num_edge} edges "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -73,7 +80,7 @@ def main():
         num_layer=len(FANOUT),
         num_hidden=256,
         model=model,
-        sample_type="random_walk" if pinsage else "khop3",
+        sample_type="random_walk" if pinsage else sample_type,
         cache_percentage=0.0,  # feats fit in HBM on one chip
         pipeline=_env_flag("XGNN_BENCH_PIPELINE", True),
         num_epoch=EPOCHS,
@@ -137,6 +144,9 @@ def main():
 
     heads = int(os.environ.get("XGNN_BENCH_HEADS", "1"))
     model_tag = f"{model}_h{heads}" if heads > 1 else model
+    st = os.environ.get("XGNN_BENCH_SAMPLE_TYPE")
+    if st and not pinsage and st != "khop3":
+        model_tag = f"{model_tag}_{st}"
     print(json.dumps({
         "metric": f"{model_tag}_products_edges_per_sec",
         "value": round(edges_per_sec, 1),

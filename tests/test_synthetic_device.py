@@ -35,3 +35,40 @@ def test_device_dataset_trains():
     engine = Engine(ds, config).init()
     r = engine.train_epoch(0)
     assert np.isfinite(r["loss"])
+
+
+def test_device_prefix_table_oracle():
+    """On-device prob_prefix_table = row-local inclusive cumsum of positive
+    weights (the reference prob_prefix_table.bin contract)."""
+    ds = make_device_dataset(300, 3000, 4, 3, seed=11, weighted=True)
+    g = ds.graph
+    prefix = np.asarray(g.prob_prefix_table)
+    indptr = np.asarray(g.indptr)
+    e = g.num_edge
+    assert prefix.shape[0] >= e
+    for v in range(g.num_node):
+        s, t = indptr[v], indptr[v + 1]
+        if t <= s:
+            continue
+        row = prefix[s:t]
+        w = np.diff(np.concatenate([[0.0], row]))
+        assert np.all(w > 0.05), (v, w.min())  # weights in (0.1, 1.0) ± fp
+        assert np.all(w < 1.05)
+        np.testing.assert_allclose(row, np.cumsum(w), rtol=1e-5)
+
+
+def test_device_weighted_prefix_trains():
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.engine import Engine
+
+    ds = make_device_dataset(2000, 16000, 16, 4, seed=5, train_frac=0.2,
+                             weighted=True)
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="weighted_khop_prefix", num_epoch=1,
+        cache_percentage=0.0, pipeline=False, calibration_batches=1,
+        root_path="/tmp",
+    )
+    engine = Engine(ds, config).init()
+    r = engine.train_epoch(0)
+    assert np.isfinite(r["loss"])

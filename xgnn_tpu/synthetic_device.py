@@ -123,6 +123,32 @@ def _build_csr(src, dst, num_node: int):
     return indptr, ud, num_unique
 
 
+@jax.jit
+def _prefix_table(indptr, indices, key):
+    """Row-local inclusive prefix sums of random positive edge weights — the
+    on-device producer of the reference's ``prob_prefix_table.bin``
+    (``utility/data-process/toolkit/weight/`` emits it offline;
+    ``cuda_sampling_weighted_khop_prefix.cu`` consumes it).
+
+    The global cumsum runs in f64 (trace-local x64): at 10^8 edges a f32
+    running sum's ulp exceeds individual weights, which would corrupt the
+    row-local differences.  One-time build cost, bench-scale ~1 s.
+    """
+    e = indices.shape[0]
+    w = jax.random.uniform(key, (e,), jnp.float32, 0.1, 1.0)
+    start = indptr[:-1]
+    with jax.enable_x64(True):
+        gcum = jnp.cumsum(w.astype(jnp.float64))
+        base_row = jnp.where(
+            start > 0, gcum[jnp.maximum(start - 1, 0)], 0.0
+        )  # (N,) cumsum before each row
+        # per-edge row id: count of row starts at-or-before each position
+        mark = jnp.zeros(e, jnp.int32).at[start].add(1, mode="drop")
+        rowid = jnp.cumsum(mark) - 1
+        prefix = (gcum - base_row[jnp.maximum(rowid, 0)]).astype(jnp.float32)
+    return prefix
+
+
 def make_device_dataset(
     num_node: int,
     num_edge: int,
@@ -134,6 +160,7 @@ def make_device_dataset(
     name: str = "synthetic_device",
     symmetric: bool = True,
     dedup: bool = True,
+    weighted: bool = False,
 ) -> DeviceDataset:
     key = jax.random.key(seed)
     k_e, k_f, k_l, k_p = jax.random.split(key, 4)
@@ -160,7 +187,15 @@ def make_device_dataset(
     n_train = max(1, int(num_node * train_frac))
     n_val = max(1, int(num_node * 0.02))
     perm = np.asarray(perm_dev[: n_train + 2 * n_val])
-    graph = Graph(indptr=indptr, indices=indices, n_node=num_node, n_edge=e)
+    prefix = (
+        _prefix_table(indptr, indices, jax.random.fold_in(key, 7))
+        if weighted
+        else None
+    )
+    graph = Graph(
+        indptr=indptr, indices=indices, prob_prefix_table=prefix,
+        n_node=num_node, n_edge=e,
+    )
     return DeviceDataset(
         name=name,
         num_node=num_node,
