@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as C
 from .tiled import take_1d
@@ -158,15 +159,21 @@ def sample_weighted_khop_hash_dedup(
 
 
 def sample_weighted_khop_prefix(
-    indptr, indices, prob_prefix_table, frontier, fanout: int, key
+    indptr, indices, prob_prefix_table, frontier, fanout: int, key,
+    max_deg: int | None = None,
 ) -> jax.Array:
     """Weighted sampling by binary search in per-node prefix-sum tables
     (reference ``cuda_sampling_weighted_khop_prefix.cu``).
 
-    Fixed-depth (32-step) branchless binary search per pick — dynamic bounds,
-    static control flow.
+    Branchless binary search per pick — dynamic bounds, static control flow.
+    Each iteration is one 512-byte tile gather per pick (the dominant cost),
+    so the depth is sized to the graph: ``ceil(log2(max_deg)) + 1`` when the
+    static max out-degree is known (``Graph.n_max_deg``), 32 otherwise.
     """
     b = frontier.shape[0]
+    depth = 32
+    if max_deg is not None:
+        depth = min(32, max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1))
     _, start, deg, _ = _frontier_meta(indptr, frontier)
     safe_deg = jnp.maximum(deg, 1)
     total = take_1d(prob_prefix_table, start + safe_deg - 1)
@@ -175,7 +182,7 @@ def sample_weighted_khop_prefix(
     lo = jnp.zeros((b, fanout), jnp.int32)
     hi = jnp.broadcast_to(safe_deg[:, None] - 1, (b, fanout))
     # smallest off with prefix[start+off] > u
-    for _ in range(32):
+    for _ in range(depth):
         mid = (lo + hi) >> 1
         go_right = take_1d(prob_prefix_table, start[:, None] + mid) <= u
         lo = jnp.where(go_right, mid + 1, lo)

@@ -137,7 +137,7 @@ def _sample_layer(graph: Graph, frontier, fanout, key, sample_type, rw_params):
     elif sample_type == st.WEIGHTED_KHOP_PREFIX:
         nbr = sampling.sample_weighted_khop_prefix(
             graph.indptr, graph.indices, graph.prob_prefix_table,
-            frontier, fanout, key,
+            frontier, fanout, key, max_deg=graph.n_max_deg,
         )
     elif sample_type == st.RANDOM_WALK:
         num_rw, rw_len, restart = rw_params

@@ -130,23 +130,25 @@ def _prefix_table(indptr, indices, key):
     (``utility/data-process/toolkit/weight/`` emits it offline;
     ``cuda_sampling_weighted_khop_prefix.cu`` consumes it).
 
-    The global cumsum runs in f64 (trace-local x64): at 10^8 edges a f32
-    running sum's ulp exceeds individual weights, which would corrupt the
-    row-local differences.  One-time build cost, bench-scale ~1 s.
+    Segmented Hillis-Steele scan with row-boundary flags: sums never cross a
+    row, so f32 stays exact-enough at any edge count (a single GLOBAL f32
+    cumsum would lose the per-row differences beyond ~10^7 edges, and the
+    f64 alternative SIGSEGVs this environment's remote AOT compiler).
+    log2(E) elementwise levels, hand-rolled like ``ops.unique._forward_fill``
+    (``lax.associative_scan`` at this length OOMs remote compilers).
     """
     e = indices.shape[0]
     w = jax.random.uniform(key, (e,), jnp.float32, 0.1, 1.0)
-    start = indptr[:-1]
-    with jax.enable_x64(True):
-        gcum = jnp.cumsum(w.astype(jnp.float64))
-        base_row = jnp.where(
-            start > 0, gcum[jnp.maximum(start - 1, 0)], 0.0
-        )  # (N,) cumsum before each row
-        # per-edge row id: count of row starts at-or-before each position
-        mark = jnp.zeros(e, jnp.int32).at[start].add(1, mode="drop")
-        rowid = jnp.cumsum(mark) - 1
-        prefix = (gcum - base_row[jnp.maximum(rowid, 0)]).astype(jnp.float32)
-    return prefix
+    v = w
+    f = jnp.zeros((e,), jnp.bool_).at[indptr[:-1]].set(True, mode="drop")
+    shift = 1
+    while shift < e:
+        pv = jnp.concatenate([jnp.zeros(shift, v.dtype), v[:-shift]])
+        pf = jnp.concatenate([jnp.ones(shift, jnp.bool_), f[:-shift]])
+        v = v + jnp.where(f, 0.0, pv)
+        f = f | pf
+        shift *= 2
+    return v
 
 
 def make_device_dataset(
@@ -192,9 +194,10 @@ def make_device_dataset(
         if weighted
         else None
     )
+    max_deg = int(jnp.max(jnp.diff(indptr[: num_node + 1])))
     graph = Graph(
         indptr=indptr, indices=indices, prob_prefix_table=prefix,
-        n_node=num_node, n_edge=e,
+        n_node=num_node, n_edge=e, n_max_deg=max_deg,
     )
     return DeviceDataset(
         name=name,

@@ -39,6 +39,9 @@ class Graph:
     # logical sizes: arrays are padded to the gather tile (ops/tiled.py)
     n_node: Optional[int] = struct.field(pytree_node=False, default=None)
     n_edge: Optional[int] = struct.field(pytree_node=False, default=None)
+    # static max out-degree: bounds the prefix-table binary-search depth
+    # (ceil(log2(max_deg)) gathers per pick instead of 32)
+    n_max_deg: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_node(self) -> int:
@@ -69,6 +72,7 @@ class Graph:
             ),
             n_node=int(ds.num_node),
             n_edge=int(ds.num_edge),
+            n_max_deg=int(np.max(np.diff(iptr))) if len(iptr) > 1 else None,
         )
 
 
