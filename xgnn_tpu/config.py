@@ -178,6 +178,10 @@ class RunConfig:
     # with ALLOC_SCALE headroom (the PredictNumNodes analog,
     # reference common.h:311-317).
     frontier_capacities: Optional[Sequence[int]] = None
+    # static max out-degree of the loaded graph — set by the engines at
+    # load time; sizes the weighted-prefix binary search (Graph.n_max_deg
+    # carries it on the single-store path)
+    max_degree: Optional[int] = None
     calibration_batches: int = 3
 
     # --- checkpointing (improvement over reference — SURVEY §5.4) ----------

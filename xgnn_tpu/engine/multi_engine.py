@@ -174,6 +174,9 @@ class MultiChipEngine:
         )
         self._host_indptr = indptr
         self._host_indices = indices
+        if cfg.max_degree is None and len(indptr) > 1:
+            # static graph property: sizes the weighted-prefix binary search
+            cfg.max_degree = int(np.max(np.diff(indptr)))
         weighted = cfg.sample_type in WEIGHTED_TYPES
         prob = getattr(self.ds, "prob_table", None) if weighted else None
         alias = getattr(self.ds, "alias_table", None) if weighted else None
@@ -197,6 +200,7 @@ class MultiChipEngine:
             ),
             n_node=int(len(indptr) - 1),
             n_edge=int(len(indices)),
+            n_max_deg=cfg.max_degree,
         )
         if cfg.use_dist_graph:
             if cfg.dist_graph_percentage < 1.0:

@@ -122,7 +122,8 @@ def _sample_any(
             _local_topo(topo, True), seeds, num_seed, key,
             axis_name=axis_name, seg_cap=seg_cap,
             sample_type=config.sample_type, fanouts=fanouts,
-            capacities=caps, rw_params=_rw_params(config), **tier,
+            capacities=caps, rw_params=_rw_params(config),
+            max_deg=config.max_degree, **tier,
         )
     return _sample_minibatch(
         topo, seeds, num_seed, key,

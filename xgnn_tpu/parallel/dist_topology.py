@@ -134,7 +134,8 @@ def partition_csr_host(
     return LocalTopo(local_iptr, local_idx, *out_payloads)
 
 
-def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type):
+def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
+                  max_deg=None):
     """Draw K neighbors for each requested global id from local CSR rows.
 
     ``req_ids``: (P, S) global node ids owned by this chip (EMPTY padded).
@@ -189,7 +190,8 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type):
 
         def one(row, k):
             return sampling.sample_weighted_khop_prefix(
-                topo.indptr, topo.indices, topo.prefix, row[None], fanout, k
+                topo.indptr, topo.indices, topo.prefix, row[None], fanout, k,
+                max_deg=max_deg,
             )[0]
     else:
         raise NotImplementedError(sample_type)
@@ -210,6 +212,7 @@ def sample_layer_partitioned(
     num_cache_node: Optional[int] = None,
     host_sampler=None,
     cold_cap: int = 0,
+    max_deg: Optional[int] = None,
 ):
     """One sampling layer over the partitioned topology (inside shard_map).
 
@@ -233,7 +236,7 @@ def sample_layer_partitioned(
     )
     req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
     req = req.reshape(num_parts, seg_cap)
-    drawn = _owner_sample(topo, req, fanout, key, sample_type)
+    drawn = _owner_sample(topo, req, fanout, key, sample_type, max_deg)
     resp = jax.lax.all_to_all(drawn, axis_name, 0, 0, tiled=True)
     resp = resp.reshape(num_parts, seg_cap, fanout)
     safe_owner = jnp.minimum(owner_sorted, num_parts - 1)
@@ -283,7 +286,8 @@ def sample_random_walk_partitioned(
     num_cache_node: Optional[int] = None,
     host_sampler=None,
     cold_cap: int = 0,
-):
+    max_deg: Optional[int] = None,  # accepted for tier-kwargs parity (walk
+):  # steps are uniform draws — no prefix search)
     """Restart random walks + per-seed top-K frequency over the partitioned
     topology (reference dispatches ``GPUSampleRandomWalk`` over
     ``DeviceDistGraph``; here each walk step is an owner-side exchange).
@@ -307,15 +311,15 @@ def sample_random_walk_partitioned(
         return flat.reshape(b, w), of
 
     for step in range(l):
-        key, k_step, k_restart, k_redraw = jax.random.split(key, 4)
-        nxt, of = step_fn(cur, k_step)
-        overflow = overflow | of
+        key, k_step, k_restart = jax.random.split(key, 3)
         if step > 0:
+            # teleport BEFORE the single step (same distribution as
+            # step-then-redo; ops/random_walk.py) — here it also saves a
+            # whole owner EXCHANGE (two all_to_alls) per walk step
             restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
             cur = jnp.where(restart, seed2d, cur)
-            redrawn, of2 = step_fn(cur, k_redraw)
-            nxt = jnp.where(restart, redrawn, nxt)
-            overflow = overflow | of2
+        nxt, of = step_fn(cur, k_step)
+        overflow = overflow | of
         visits.append(nxt)
         cur = jnp.where(nxt == EMPTY, seed2d, nxt)
 
@@ -350,6 +354,7 @@ def sample_minibatch_partitioned(
     num_cache_node: Optional[int] = None,
     host_sampler=None,
     cold_cap: int = 0,
+    max_deg: Optional[int] = None,
 ):
     """Multi-layer sampling over the partitioned topology (inside shard_map).
 
@@ -366,7 +371,7 @@ def sample_minibatch_partitioned(
     overflow = jnp.zeros((), jnp.bool_)
     tier = dict(
         num_cache_node=num_cache_node, host_sampler=host_sampler,
-        cold_cap=cold_cap,
+        cold_cap=cold_cap, max_deg=max_deg,
     )
     for layer, fanout in enumerate(fanouts):
         key, k_layer = jax.random.split(key)
