@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=1000)
     ap.add_argument("--cache-percentage", type=float, default=0.0)
+    ap.add_argument("--device-loop", action="store_true", default=False)
     args = ap.parse_args()
 
     import jax
@@ -42,9 +43,12 @@ def main():
         cache_percentage=args.cache_percentage,
         cache_policy="pre_sample",
         num_epoch=args.epochs, root_path="/tmp", pipeline=True,
+        device_loop=args.device_loop,
     )
     eng = Engine(ds, config).init()
     mode = "cpu" if args.cpu else "tpu"
+    if args.device_loop:
+        mode += "_dloop"
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.tsv"
     )
