@@ -48,8 +48,11 @@ def main():
     from xgnn_tpu.synthetic_device import make_device_dataset
 
     t0 = time.time()
+    model = os.environ.get("XGNN_BENCH_MODEL", "graphsage")
     sample_type = os.environ.get("XGNN_BENCH_SAMPLE_TYPE", "khop3")
-    if sample_type.startswith("weighted") and sample_type != "weighted_khop_prefix":
+    if model == "pinsage":
+        sample_type = "random_walk"  # the pinsage path (RunConfig coerces too)
+    elif sample_type.startswith("weighted") and sample_type != "weighted_khop_prefix":
         # only the prefix table has an on-device producer (alias construction
         # is sequential per row — host datagen territory, cpp/convert.cpp)
         print("# weighted bench uses the prefix variant", file=sys.stderr)
@@ -62,7 +65,6 @@ def main():
     print(f"# generated on-device: {ds.num_node} nodes {ds.num_edge} edges "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    model = os.environ.get("XGNN_BENCH_MODEL", "graphsage")
     # Every model runs the fast-path configuration: the GCN/GAT
     # aggregate-first reorder (models/gnn.py) keeps the transform off the
     # src frontier, so no model materializes a (src_cap, hidden) activation
@@ -80,7 +82,7 @@ def main():
         num_layer=len(FANOUT),
         num_hidden=256,
         model=model,
-        sample_type="random_walk" if pinsage else sample_type,
+        sample_type=sample_type,
         cache_percentage=0.0,  # feats fit in HBM on one chip
         pipeline=_env_flag("XGNN_BENCH_PIPELINE", True),
         num_epoch=EPOCHS,
@@ -144,9 +146,9 @@ def main():
 
     heads = int(os.environ.get("XGNN_BENCH_HEADS", "1"))
     model_tag = f"{model}_h{heads}" if heads > 1 else model
-    st = os.environ.get("XGNN_BENCH_SAMPLE_TYPE")
-    if st and not pinsage and st != "khop3":
-        model_tag = f"{model_tag}_{st}"
+    if not pinsage and sample_type != "khop3":
+        # the COERCED sample type: what actually ran, not what was requested
+        model_tag = f"{model_tag}_{sample_type}"
     print(json.dumps({
         "metric": f"{model_tag}_products_edges_per_sec",
         "value": round(edges_per_sec, 1),

@@ -1,20 +1,20 @@
 """Capture a device-op-level profile of the bench training step.
 
-Runs a short bench-shaped epoch under ``jax.profiler.trace`` and prints the
-top device ops by self-time (via tensorboard_plugin_profile's xplane
-converter) — the tool for attributing the step-time residual that the
-stage-level timers in ``step_profile.py`` cannot see (PERF.md "residual").
+Runs a few serial bench- or eval-shaped engine steps under
+``jax.profiler.trace`` and aggregates the captured Chrome trace JSON's
+"XLA Ops" lane into per-op and per-source-line ms/step tables — the tool
+for attributing step time that the stage-level timers in
+``step_profile.py`` cannot see (PERF.md "Trace-level step attribution").
+The Chrome JSON is parsed directly: this image's tensorboard xplane
+converter is version-mismatched with its tensorflow build.
 
 Usage: python evaluation/microbench/trace_step.py [--steps N] [--model M]
+           [--heads H] [--nodes N --batch B --fanout F1 F2 ... --hidden D]
 """
 
 import glob
 import os
 import sys
-
-# tensorboard_plugin_profile ships pre-generated protos older than this
-# image's protobuf; the pure-python parser accepts them
-os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
@@ -83,6 +83,8 @@ def main():
         items.append(
             (step_item, jax.random.fold_in(jax.random.key(7), i), (0, i))
         )
+    if not items:
+        raise SystemExit("no steps to trace (empty train shard or --steps 0)")
 
     def run_steps():
         # the serial body of Engine.train_epoch, one step at a time

@@ -63,10 +63,18 @@ def run_matrix(
     }
     lines = []
     if append and os.path.exists(out_path):
-        old = open(out_path).read().splitlines()[1:]
-        lines = [
-            fmt.pop(ln.split("\t", 1)[0], ln) for ln in old if ln.strip()
-        ]
+        replaced = set()
+        for ln in open(out_path).read().splitlines()[1:]:
+            if not ln.strip():
+                continue
+            name = ln.split("\t", 1)[0]
+            if name in replaced:  # stale duplicate of a refreshed name
+                continue
+            if name in fmt:
+                lines.append(fmt.pop(name))
+                replaced.add(name)
+            else:
+                lines.append(ln)
     lines += list(fmt.values())
     with open(out_path, "w") as f:
         f.write("name\t" + "\t".join(columns) + "\n")

@@ -638,3 +638,26 @@ def test_multi_chip_node_access_log_fused(small_ds, monkeypatch):
     from xgnn_tpu.profiler import Profiler
 
     assert not Profiler()._log_node_access
+
+
+def test_multi_chip_device_dataset_weighted_prefix():
+    """make_device_dataset(weighted=True) stores the prefix table on
+    ds.graph (not as a ds attribute); MultiChipEngine must find it there
+    (regression: it once read only the ds attribute and traced with None)."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+    from xgnn_tpu.synthetic_device import make_device_dataset
+
+    ds = make_device_dataset(600, 4800, 8, 4, seed=9, train_frac=0.3,
+                             weighted=True)
+    config = RunConfig(
+        batch_size=32, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="weighted_khop_prefix",
+        num_worker=NUM_DEV, use_dist_graph=True, part_cache=True,
+        cache_percentage=1.0, num_epoch=1, root_path="/tmp",
+        calibration_batches=1,
+    )
+    eng = MultiChipEngine(ds, config).init()
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    # the loaded graph's max degree sized the search (not a stale value)
+    assert config.max_degree is not None and config.max_degree >= 1

@@ -174,15 +174,28 @@ class MultiChipEngine:
         )
         self._host_indptr = indptr
         self._host_indices = indices
-        if cfg.max_degree is None and len(indptr) > 1:
-            # static graph property: sizes the weighted-prefix binary search
+        if len(indptr) > 1:
+            # static property of the LOADED graph (not a tuning knob):
+            # always recompute so a RunConfig reused across engines/datasets
+            # never carries a stale value — an undersized search would
+            # silently bias weighted picks toward low prefix offsets
             cfg.max_degree = int(np.max(np.diff(indptr)))
         weighted = cfg.sample_type in WEIGHTED_TYPES
-        prob = getattr(self.ds, "prob_table", None) if weighted else None
-        alias = getattr(self.ds, "alias_table", None) if weighted else None
-        prefix = (
-            getattr(self.ds, "prob_prefix_table", None) if weighted else None
-        )
+
+        def _table(name):
+            # host datasets carry tables as attributes; device datasets
+            # (make_device_dataset(weighted=True)) carry them on ds.graph —
+            # pull to host for partitioning, like indptr/indices above
+            if not weighted:
+                return None
+            t = getattr(self.ds, name, None)
+            if t is None and getattr(self.ds, "graph", None) is not None:
+                t = getattr(self.ds.graph, name, None)
+            return np.asarray(t) if t is not None else None
+
+        prob = _table("prob_table")
+        alias = _table("alias_table")
+        prefix = _table("prob_prefix_table")
 
         # --- topology: replicated, fully partitioned, or partitioned with
         #     a host cold tier (dist_graph_percentage)

@@ -47,15 +47,14 @@ def pick_multiplicity(neigh: jax.Array) -> jax.Array:
     flat = neigh.reshape(-1)
     n = flat.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    idx = pos
 
     sid, spos = jax.lax.sort((flat, pos), num_keys=1)
     boundary = sid[1:] != sid[:-1]
     is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
     is_last = jnp.concatenate([boundary, jnp.ones((1,), jnp.bool_)])
 
-    start = _forward_fill(jnp.where(is_first, idx, 0), is_first)
-    end = _forward_fill(jnp.where(is_last, idx, 0)[::-1], is_last[::-1])[::-1]
+    start = _forward_fill(jnp.where(is_first, pos, 0), is_first)
+    end = _forward_fill(jnp.where(is_last, pos, 0)[::-1], is_last[::-1])[::-1]
     counts_sorted = jnp.where(sid != EMPTY, end - start + 1, 0)
 
     # unsort: sort by original position (a permutation => exact inverse)
