@@ -179,3 +179,36 @@ def test_pallas_gather_interpret():
             np.testing.assert_array_equal(out[i], 0)
         else:
             np.testing.assert_allclose(out[i], np.asarray(feat)[v])
+
+
+def test_weighted_prefix_coarse_matches_binary_search(small_ds):
+    """The coarse-CDF path (build_coarse_cdf + tile-pair finish) returns
+    BIT-IDENTICAL picks to the pure binary search for the same draws."""
+    from xgnn_tpu import synthetic
+    from xgnn_tpu.ops.sampling import (
+        build_coarse_cdf,
+        sample_weighted_khop_prefix,
+    )
+    from xgnn_tpu.ops.tiled import pad_tile
+
+    synthetic.build_alias_tables(small_ds, seed=7)
+    indptr = jnp.asarray(pad_tile(small_ds.indptr, fill=int(small_ds.indptr[-1])))
+    indices = jnp.asarray(pad_tile(small_ds.indices))
+    prefix = jnp.asarray(pad_tile(small_ds.prob_prefix_table))
+    coarse = build_coarse_cdf(indptr, prefix, small_ds.num_node)
+    max_deg = int(np.max(np.diff(small_ds.indptr)))
+
+    frontier = jnp.asarray(
+        np.random.default_rng(0).integers(0, small_ds.num_node, 257)
+    ).astype(jnp.int32)
+    frontier = frontier.at[13].set(EMPTY_KEY)  # masked entry
+    for seed in range(3):
+        key = jax.random.key(seed)
+        ref = sample_weighted_khop_prefix(
+            indptr, indices, prefix, frontier, 7, key, max_deg=max_deg
+        )
+        got = sample_weighted_khop_prefix(
+            indptr, indices, prefix, frontier, 7, key, max_deg=max_deg,
+            coarse_cdf=coarse,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from .tiled import take_1d
+from .tiled import TILE as TILE_LANES, take_1d
 
 EMPTY = C.EMPTY_KEY
 
@@ -158,9 +158,38 @@ def sample_weighted_khop_hash_dedup(
     )
 
 
+def _coarse_pos(j, deg, lanes: int):
+    """Offset of the j-th coarse quantile of a row: ``ceil((j+1)*deg/lanes)-1``
+    computed int32-overflow-safe via ``deg = q*lanes + r`` decomposition."""
+    q, r = deg // lanes, deg % lanes
+    return (j + 1) * q + ((j + 1) * r + lanes - 1) // lanes - 1
+
+
+def build_coarse_cdf(indptr, prob_prefix_table, num_node: int,
+                     lanes: int = 128):
+    """Per-node tile-granular CDF index: ``(num_node, lanes)`` f32 where
+    ``C[v, j] = prefix[start_v + ceil((j+1)*deg_v/lanes) - 1]`` — the row's
+    CDF sampled at ``lanes`` evenly-spaced offsets, one HBM tile per node.
+
+    This is the TPU-native answer to the prefix search's cost structure:
+    every binary-search iteration is a 512-byte tile touch PER PICK, while a
+    coarse row is ONE tile shared by all of a node's picks and narrows the
+    interval by ``lanes``x in a single on-chip compare — see
+    :func:`sample_weighted_khop_prefix`.  One-time build, ~4 bytes*lanes per
+    node.
+    """
+    d = jnp.diff(indptr[: num_node + 1])
+    start = indptr[:num_node]
+    j = jnp.arange(lanes, dtype=jnp.int32)[None, :]
+    e = _coarse_pos(j, jnp.maximum(d, 1)[:, None], lanes)
+    pos = start[:, None] + jnp.clip(e, 0, jnp.maximum(d - 1, 0)[:, None])
+    c = take_1d(prob_prefix_table, pos)
+    return jnp.where((d > 0)[:, None], c, 0.0)
+
+
 def sample_weighted_khop_prefix(
     indptr, indices, prob_prefix_table, frontier, fanout: int, key,
-    max_deg: int | None = None,
+    max_deg: int | None = None, coarse_cdf=None,
 ) -> jax.Array:
     """Weighted sampling by binary search in per-node prefix-sum tables
     (reference ``cuda_sampling_weighted_khop_prefix.cu``).
@@ -169,24 +198,76 @@ def sample_weighted_khop_prefix(
     Each iteration is one 512-byte tile gather per pick (the dominant cost),
     so the depth is sized to the graph: ``ceil(log2(max_deg)) + 1`` when the
     static max out-degree is known (``Graph.n_max_deg``), 32 otherwise.
+
+    With ``coarse_cdf`` (:func:`build_coarse_cdf`), the search is
+    restructured around tile touches instead of comparisons: ONE coarse-row
+    gather per dst (shared by all K picks) narrows the interval ``lanes``x
+    on-chip, a few sized binary iterations shrink it under one tile, and a
+    final tile-PAIR read finishes the whole search with a lane count —
+    ~3 tile touches per pick instead of ~``log2(max_deg)``.  Exact: returns
+    the same offset as the pure binary search for identical draws.
     """
     b = frontier.shape[0]
     depth = 32
     if max_deg is not None:
         depth = min(32, max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1))
-    _, start, deg, _ = _frontier_meta(indptr, frontier)
+    node, start, deg, _ = _frontier_meta(indptr, frontier)
     safe_deg = jnp.maximum(deg, 1)
     total = take_1d(prob_prefix_table, start + safe_deg - 1)
     u = jax.random.uniform(key, (b, fanout)) * total[:, None]
 
-    lo = jnp.zeros((b, fanout), jnp.int32)
-    hi = jnp.broadcast_to(safe_deg[:, None] - 1, (b, fanout))
+    if coarse_cdf is None:
+        lo = jnp.zeros((b, fanout), jnp.int32)
+        hi = jnp.broadcast_to(safe_deg[:, None] - 1, (b, fanout))
+        iters = depth
+    else:
+        lanes = coarse_cdf.shape[1]
+        crow = jnp.take(coarse_cdf, node, axis=0, mode="clip")  # (b, lanes)
+        j = jnp.sum(crow[:, None, :] <= u[:, :, None], axis=-1,
+                    dtype=jnp.int32)
+        j = jnp.minimum(j, lanes - 1)  # f32 rounding can push u to total
+        d2 = safe_deg[:, None]
+        e_j = jnp.clip(_coarse_pos(j, d2, lanes), 0, d2 - 1)
+        e_prev = jnp.clip(_coarse_pos(j - 1, d2, lanes), -1, d2 - 1)
+        lo = jnp.where(j > 0, e_prev + 1, 0)
+        hi = e_j
+        # shrink the bucket below one tile span; bound is static
+        span = 1 if max_deg is None else -(-max_deg // lanes)
+        iters = 0
+        while span > TILE_LANES - 1:
+            span = (span + 1) // 2
+            iters += 1
     # smallest off with prefix[start+off] > u
-    for _ in range(depth):
+    for _ in range(iters):
         mid = (lo + hi) >> 1
         go_right = take_1d(prob_prefix_table, start[:, None] + mid) <= u
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
+    if coarse_cdf is not None:
+        # finish on-chip: the [lo, hi] prefix values live in two adjacent
+        # tiles — read the pair, count entries <= u inside the interval
+        table = prob_prefix_table
+        if table.shape[0] % TILE_LANES:
+            from .tiled import pad_tile
+
+            table = pad_tile(table)
+        tiled = table.reshape(-1, TILE_LANES)
+        p_lo = start[:, None] + lo
+        p_hi = start[:, None] + jnp.minimum(hi, d2 - 1)
+        t0 = p_lo // TILE_LANES
+        flat_t0 = t0.reshape(-1)
+        pair = jnp.concatenate(
+            [tiled[flat_t0], tiled[jnp.minimum(flat_t0 + 1, tiled.shape[0] - 1)]],
+            axis=1,
+        ).reshape(b, fanout, 2 * TILE_LANES)
+        abspos = t0[:, :, None] * TILE_LANES + jnp.arange(
+            2 * TILE_LANES, dtype=jnp.int32
+        )
+        inside = (abspos >= p_lo[:, :, None]) & (abspos <= p_hi[:, :, None])
+        cnt = jnp.sum(
+            inside & (pair <= u[:, :, None]), axis=-1, dtype=jnp.int32
+        )
+        lo = lo + cnt
     off = jnp.minimum(lo, safe_deg[:, None] - 1)
     nbr = take_1d(indices, start[:, None] + off)
     return _mask_rows(nbr, deg)

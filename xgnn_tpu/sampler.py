@@ -138,6 +138,7 @@ def _sample_layer(graph: Graph, frontier, fanout, key, sample_type, rw_params):
         nbr = sampling.sample_weighted_khop_prefix(
             graph.indptr, graph.indices, graph.prob_prefix_table,
             frontier, fanout, key, max_deg=graph.n_max_deg,
+            coarse_cdf=graph.coarse_cdf,
         )
     elif sample_type == st.RANDOM_WALK:
         num_rw, rw_len, restart = rw_params

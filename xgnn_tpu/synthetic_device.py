@@ -194,10 +194,15 @@ def make_device_dataset(
         if weighted
         else None
     )
+    coarse = None
+    if prefix is not None:
+        from .ops.sampling import build_coarse_cdf
+
+        coarse = build_coarse_cdf(indptr, prefix, num_node)
     max_deg = int(jnp.max(jnp.diff(indptr[: num_node + 1])))
     graph = Graph(
         indptr=indptr, indices=indices, prob_prefix_table=prefix,
-        n_node=num_node, n_edge=e, n_max_deg=max_deg,
+        coarse_cdf=coarse, n_node=num_node, n_edge=e, n_max_deg=max_deg,
     )
     return DeviceDataset(
         name=name,

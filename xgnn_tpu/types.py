@@ -36,6 +36,9 @@ class Graph:
     prob_table: Optional[jax.Array] = None  # edge-aligned f32 (alias method)
     alias_table: Optional[jax.Array] = None  # edge-aligned int32
     prob_prefix_table: Optional[jax.Array] = None  # edge-aligned f32
+    # (num_node, 128) f32 per-node CDF quantiles: one-tile coarse index that
+    # replaces most prefix-search tile touches (ops/sampling.build_coarse_cdf)
+    coarse_cdf: Optional[jax.Array] = None
     # logical sizes: arrays are padded to the gather tile (ops/tiled.py)
     n_node: Optional[int] = struct.field(pytree_node=False, default=None)
     n_edge: Optional[int] = struct.field(pytree_node=False, default=None)
@@ -60,7 +63,7 @@ class Graph:
         )
         iptr = np.asarray(ds.indptr)
         iptr_padded = pad_tile(iptr, fill=int(iptr[-1]))
-        return cls(
+        g = cls(
             indptr=jax.device_put(jnp.asarray(iptr_padded), device),
             indices=put(ds.indices),
             prob_table=put(ds.prob_table) if weighted and ds.prob_table is not None else None,
@@ -74,6 +77,15 @@ class Graph:
             n_edge=int(ds.num_edge),
             n_max_deg=int(np.max(np.diff(iptr))) if len(iptr) > 1 else None,
         )
+        if g.prob_prefix_table is not None:
+            from .ops.sampling import build_coarse_cdf
+
+            g = g.replace(
+                coarse_cdf=build_coarse_cdf(
+                    g.indptr, g.prob_prefix_table, g.num_node
+                )
+            )
+        return g
 
 
 @struct.dataclass
