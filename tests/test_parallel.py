@@ -545,6 +545,29 @@ def test_partitioned_weighted_sampling_validity(mesh, small_ds):
     assert checked > 300
 
 
+def test_partitioned_coarse_cdf_matches_reference(small_ds):
+    """partition_csr_host's per-part coarse index == build_coarse_cdf run
+    on each part's local CSR (the partitioned weighted-prefix fast path)."""
+    from xgnn_tpu.parallel.dist_topology import partition_csr_host
+    from xgnn_tpu.ops.sampling import build_coarse_cdf
+    from xgnn_tpu import synthetic
+
+    synthetic.build_alias_tables(small_ds, seed=4)
+    lt = partition_csr_host(
+        small_ds.indptr, small_ds.indices, NUM_DEV,
+        prefix=small_ds.prob_prefix_table,
+    )
+    assert lt.coarse is not None and lt.coarse.shape[0] == NUM_DEV
+    rows = lt.coarse.shape[1]
+    for p in range(NUM_DEV):
+        want = np.asarray(
+            build_coarse_cdf(
+                jnp.asarray(lt.indptr[p]), jnp.asarray(lt.prefix[p]), rows
+            )
+        )
+        np.testing.assert_allclose(lt.coarse[p], want, rtol=0, atol=0)
+
+
 def test_hierarchical_dcn_mesh_engine(small_ds):
     """2x4 hierarchical mesh: store sharded within each ICI group,
     replicated across groups; batches span all 8 chips (the

@@ -183,7 +183,10 @@ def build_coarse_cdf(indptr, prob_prefix_table, num_node: int,
     j = jnp.arange(lanes, dtype=jnp.int32)[None, :]
     e = _coarse_pos(j, jnp.maximum(d, 1)[:, None], lanes)
     pos = start[:, None] + jnp.clip(e, 0, jnp.maximum(d - 1, 0)[:, None])
-    c = take_1d(prob_prefix_table, pos)
+    # one-time build: native XLA gather, NOT take_1d — the tiled gather's
+    # (elements, TILE) select intermediate is ~``num_node*lanes*512`` bytes
+    # (160 GB at products scale); the plain gather peaks at the output size
+    c = jnp.take(prob_prefix_table, pos, mode="clip")
     return jnp.where((d > 0)[:, None], c, 0.0)
 
 

@@ -61,6 +61,9 @@ class LocalTopo(NamedTuple):
     prob: Optional[jax.Array] = None
     alias: Optional[jax.Array] = None
     prefix: Optional[jax.Array] = None
+    # tile-granular CDF index over the LOCAL rows (ops.sampling
+    # build_coarse_cdf semantics) — built whenever ``prefix`` is present
+    coarse: Optional[jax.Array] = None
 
 
 def partition_csr_host(
@@ -131,7 +134,27 @@ def partition_csr_host(
                 out_payloads[j][p, : len(locals_payload[j][p])] = (
                     locals_payload[j][p]
                 )
-    return LocalTopo(local_iptr, local_idx, *out_payloads)
+    coarse = None
+    if prefix is not None:
+        # per-part tile-granular CDF index over the local rows — the same
+        # ~3-tile-touch prefix search the single store gets from
+        # Graph.coarse_cdf (ops.sampling.build_coarse_cdf), built host-side
+        from ..ops.sampling import _coarse_pos
+        from ..ops.tiled import TILE as LANES
+
+        coarse = np.zeros((num_parts, rows, LANES), np.float32)
+        jj = np.arange(LANES, dtype=np.int64)[None, :]
+        for p in range(num_parts):
+            ip = local_iptr[p].astype(np.int64)
+            d = ip[1 : rows + 1] - ip[:rows]
+            e = _coarse_pos(jj, np.maximum(d, 1)[:, None], LANES)
+            pos = ip[:rows, None] + np.clip(
+                e, 0, np.maximum(d - 1, 0)[:, None]
+            )
+            c = out_payloads[2][p][pos].astype(np.float32)
+            c[d == 0] = 0.0
+            coarse[p] = c
+    return LocalTopo(local_iptr, local_idx, *out_payloads, coarse)
 
 
 def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
@@ -191,7 +214,7 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
         def one(row, k):
             return sampling.sample_weighted_khop_prefix(
                 topo.indptr, topo.indices, topo.prefix, row[None], fanout, k,
-                max_deg=max_deg,
+                max_deg=max_deg, coarse_cdf=topo.coarse,
             )[0]
     else:
         raise NotImplementedError(sample_type)
