@@ -13,6 +13,18 @@ from xgnn_tpu import load_dataset, save_dataset, synthetic
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.fixture(scope="module")
+def convert_exe():
+    """The xgnn-convert CLI, auto-built on demand (skip only if no
+    compiler is available in the environment)."""
+    from xgnn_tpu import clib
+
+    exe = clib.convert_path()
+    if exe is None:
+        pytest.skip("no C++ compiler available to build xgnn-convert")
+    return exe
+
+
 def test_roundtrip(tmp_path, tiny_ds):
     synthetic.build_alias_tables(tiny_ds)
     path = str(tmp_path / "ds")
@@ -44,14 +56,10 @@ def test_fake_feat_dim(tmp_path, tiny_ds):
     assert ds2.feat.shape == (tiny_ds.num_node, 7)
 
 
-@pytest.mark.skipif(
-    not os.path.isfile(os.path.join(REPO, "cpp", "xgnn-convert")),
-    reason="xgnn-convert not built",
-)
-def test_cpp_toolkit(tmp_path, tiny_ds):
+def test_cpp_toolkit(tmp_path, tiny_ds, convert_exe):
     path = str(tmp_path / "ds")
     save_dataset(tiny_ds, path)
-    exe = os.path.join(REPO, "cpp", "xgnn-convert")
+    exe = convert_exe
 
     r = subprocess.run([exe, "degrees", path], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
@@ -85,18 +93,14 @@ def test_cpp_toolkit(tmp_path, tiny_ds):
     np.testing.assert_array_equal(ix, tiny_ds.indices.astype(np.uint32))
 
 
-@pytest.mark.skipif(
-    not os.path.isfile(os.path.join(REPO, "cpp", "xgnn-convert")),
-    reason="xgnn-convert not built",
-)
-def test_cpp_weights_and_rankings(tmp_path, tiny_ds):
+def test_cpp_weights_and_rankings(tmp_path, tiny_ds, convert_exe):
     """create-weights emits reference-format alias tables (global node ids);
     degree-hop / heuristic rankings are valid permutations."""
     from xgnn_tpu import load_dataset, save_dataset
 
     path = str(tmp_path / "ds")
     save_dataset(tiny_ds, path)
-    exe = os.path.join(REPO, "cpp", "xgnn-convert")
+    exe = convert_exe
 
     r = subprocess.run([exe, "create-weights", path, "7"],
                        capture_output=True, text=True)

@@ -684,3 +684,59 @@ def test_multi_chip_device_dataset_weighted_prefix():
     assert np.isfinite(r["loss"])
     # the loaded graph's max degree sized the search (not a stale value)
     assert config.max_degree is not None and config.max_degree >= 1
+
+
+def test_host_prefix_vectorized_matches_loop():
+    """The broadcast binary search in HostColdSampler._prefix must be
+    bit-identical to a per-row np.searchsorted(side='right')."""
+    from xgnn_tpu.config import SampleType
+    from xgnn_tpu.parallel.ggms import HostColdSampler
+
+    rng = np.random.default_rng(7)
+    num_node = 50
+    deg = rng.integers(0, 37, num_node)
+    deg[-1] = 0  # zero-degree CSR tail
+    deg[3] = 0
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    num_edge = int(indptr[-1])
+    indices = rng.integers(0, num_node, num_edge).astype(np.int32)
+    w = rng.random(num_edge).astype(np.float32) + 0.01
+    prefix = np.concatenate(
+        [np.cumsum(w[s:e]) for s, e in zip(indptr[:-1], indptr[1:]) if e > s]
+    ).astype(np.float32)
+    hs = HostColdSampler(
+        indptr, indices, SampleType.WEIGHTED_KHOP_PREFIX,
+        prob_prefix_table=prefix,
+    )
+    ids = rng.permutation(num_node).astype(np.int32)
+    k = 6
+    out = hs(ids, np.array([11, 22, 33, 44], np.uint32), k)
+
+    # oracle: per-row searchsorted with the same uniform draws
+    from xgnn_tpu.parallel.ggms import _hash_u01
+
+    valid = (ids != EMPTY_KEY) & (deg[ids] >= 0)
+    v = ids.astype(np.int64)
+    start = indptr[v]
+    d = indptr[v + 1] - start
+    kd = np.array([11, 22, 33, 44], np.uint64)
+    salt = 0
+    for wrd in kd:
+        salt = ((salt * 0x100000001B3) ^ int(wrd)) & 0xFFFFFFFFFFFFFFFF
+    pos = np.nonzero(valid)[0].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        row_salt = np.uint64(salt) ^ (pos * np.uint64(0xD6E8FEB86659FD93))
+    slot = v[:, None] * np.int64(k) + np.arange(k, dtype=np.int64)
+    u = _hash_u01(slot, row_salt[:, None])
+    expect = np.full((num_node, k), EMPTY_KEY, np.int64)
+    for i in range(num_node):
+        if d[i] <= 0:
+            continue
+        s = start[i]
+        tgt = u[i] * prefix[s + d[i] - 1]
+        off = np.minimum(
+            np.searchsorted(prefix[s : s + d[i]], tgt, side="right"),
+            d[i] - 1,
+        )
+        expect[i] = indices[s + off]
+    np.testing.assert_array_equal(out.astype(np.int64), expect)

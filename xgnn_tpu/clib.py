@@ -56,6 +56,25 @@ def available() -> bool:
     return bool(_load())
 
 
+_CONVERT_PATH = os.path.join(_CPP_DIR, "xgnn-convert")
+
+
+def convert_path() -> str | None:
+    """Path to the ``xgnn-convert`` CLI (the reference ``utility/data-process``
+    toolkit analog), auto-built on first use like ``libxgnnhost.so``.
+    Returns None when no compiler is available."""
+    with _LOCK:
+        if not os.path.isfile(_CONVERT_PATH) and os.path.isdir(_CPP_DIR):
+            try:
+                subprocess.run(
+                    ["make", "-C", _CPP_DIR, "xgnn-convert"],
+                    capture_output=True, timeout=120, check=True,
+                )
+            except Exception:
+                return None
+        return _CONVERT_PATH if os.path.isfile(_CONVERT_PATH) else None
+
+
 def gather_rows(src: np.ndarray, ids: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
     """out[i] = src[ids[i]]; ids<0 → zero row.  OMP-parallel when built."""
     lib = _load()

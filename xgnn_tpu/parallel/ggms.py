@@ -304,21 +304,27 @@ class HostColdSampler:
         return np.where(np.arange(k)[None, :] < deg[:, None], nbr, EMPTY)
 
     def _prefix(self, start, deg, u):
+        """Vectorized per-segment ``searchsorted(side='right')``: one
+        broadcast binary search over all (row, pick) cells — O(n·k·log d)
+        with no Python loop over requests (the cold buffer doubles on
+        overflow, so a per-row loop would go quadratic)."""
         n, k = u.shape
         safe_deg = np.maximum(deg, 1)
         total = self.prob_prefix_table[start + safe_deg - 1]
         target = u * total[:, None]
-        nbr = np.full((n, k), EMPTY, np.int64)
-        for i in range(n):  # cold requests are few; per-row searchsorted
-            if deg[i] <= 0:
-                continue
-            s, d = start[i], deg[i]
-            off = np.searchsorted(
-                self.prob_prefix_table[s : s + d], target[i], side="right"
-            )
-            off = np.minimum(off, d - 1)
-            nbr[i] = self.indices[s + off]
-        return nbr
+        lo = np.zeros((n, k), np.int64)
+        hi = np.broadcast_to(safe_deg[:, None], (n, k)).copy()
+        table, base = self.prob_prefix_table, start[:, None]
+        last = len(table) - 1  # mid==hi==deg reads are masked, but must stay in bounds
+        for _ in range(int(np.log2(max(int(safe_deg.max()), 1)) + 2)):
+            mid = (lo + hi) >> 1
+            go_right = (table[np.minimum(base + mid, last)] <= target) & (mid < hi)
+            lo = np.where(go_right, mid + 1, lo)
+            hi = np.where(go_right, hi, mid)
+        off = np.minimum(lo, safe_deg[:, None] - 1)
+        return np.where(
+            deg[:, None] > 0, self.indices[base + off].astype(np.int64), EMPTY
+        )
 
     @staticmethod
     def _dedup_rows(nbr):
