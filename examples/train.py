@@ -56,6 +56,11 @@ def parse_args():
                    help="dedicated sampler chips (arch5/FGNN mode when > 0)")
     p.add_argument("--num-train-worker", type=int, default=1,
                    help="data-parallel trainer chips in arch5 mode")
+    p.add_argument("--num-dcn-groups", type=int, default=1,
+                   help="hierarchical mesh groups: the GGMS store shards "
+                        "over num_worker/groups chips (ICI) and replicates "
+                        "across groups (DCN) — the PartitionSolver-analog "
+                        "placement")
     p.add_argument("--use-dist-graph", action="store_true", default=False,
                    help="partition the topology across chips (GGMS)")
     p.add_argument("--dist-graph-percentage", type=float, default=1.0,
@@ -155,6 +160,7 @@ def main():
         lr=args.lr,
         dropout=args.dropout,
         num_worker=args.num_worker,
+        num_dcn_groups=args.num_dcn_groups,
         num_sample_worker=max(args.num_sample_worker, 1),
         num_train_worker=args.num_train_worker,
         arch=("disaggregated" if args.num_sample_worker > 0

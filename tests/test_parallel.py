@@ -740,3 +740,147 @@ def test_host_prefix_vectorized_matches_loop():
         )
         expect[i] = indices[s + off]
     np.testing.assert_array_equal(out.astype(np.int64), expect)
+
+
+def test_hierarchical_two_phase_ggms(learn_ds):
+    """The north-star composition (VERDICT round-2 item 1): the FULL GGMS
+    (dist-graph hot prefix + host cold topology tier + partial partitioned
+    cache + host miss path + pipeline) on a 2x4 hierarchical mesh — store
+    sharded per ICI group, replicated across the DCN axis, batches spanning
+    all 8 chips; presample ranking and capacity calibration run on the
+    hierarchical mesh too."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=32,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        num_dcn_groups=2,
+        use_dist_graph=True, dist_graph_percentage=0.6,
+        part_cache=True, cache_percentage=0.25, cache_policy="pre_sample",
+        presample_epoch=1, num_epoch=3, lr=0.01, root_path="/tmp",
+        pipeline=True, report_acc=0,
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    assert eng.two_phase and eng.num_groups == 2
+    assert eng.num_parts == NUM_DEV // 2  # store shards per group
+    assert eng.num_cache_node is not None
+    assert 0 < eng.num_cache_node < learn_ds.num_node
+    results = [eng.train_epoch(e) for e in range(3)]
+    losses = [r["loss"] for r in results]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] * 0.9
+    # per-group partial cache: hit rate strictly inside (0, 1)
+    assert 0.05 < results[-1]["hit_rate"] < 0.999
+    # two-phase evaluation over the hierarchical mesh
+    acc = eng.evaluate("valid", max_batches=2)
+    assert np.isfinite(acc) and acc > 0.0
+
+
+def test_overflow_replay_no_lost_steps(learn_ds):
+    """Steps that hit frontier/exchange capacity are replayed after growth
+    instead of dropped (VERDICT round-2 item 3): every batch contributes
+    exactly one update, and eval counts every issued node exactly once."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    tiny_caps = [64, 128, 256]  # guaranteed to overflow at fanout (4, 3)
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=True, cache_percentage=1.0,
+        num_epoch=1, lr=0.01, root_path="/tmp",
+        frontier_capacities=tiny_caps, pipeline=True,
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    # every step contributed exactly once (originals + replays)
+    assert r["contributed_steps"] == r["steps"], r
+    # growth actually happened
+    assert eng.capacities[-1] > tiny_caps[-1]
+    # eval: every issued node counted exactly once (internal assert) and
+    # overflowed batches re-run, not excluded
+    acc = eng.evaluate("valid")
+    assert np.isfinite(acc) and 0.0 <= acc <= 1.0
+    assert eng._last_eval_total == len(learn_ds.valid_set)
+
+
+def test_overflow_replay_two_phase(learn_ds):
+    """Replay through the two-phase GGMS path (program A + host miss path +
+    program B re-run per overflowed step)."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    tiny_caps = [64, 128, 256]
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=True, cache_percentage=0.3,
+        cache_policy="degree", num_epoch=1, lr=0.01, root_path="/tmp",
+        frontier_capacities=tiny_caps, pipeline=True,
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    assert eng.two_phase
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    assert r["contributed_steps"] == r["steps"], r
+    assert eng.capacities[-1] > tiny_caps[-1]
+
+
+def test_overflow_replay_device_loop(learn_ds):
+    """Replay drives the scanned (device_loop) epoch too: the fused scan
+    no-ops overflowed updates on device; the host replays them afterwards."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    tiny_caps = [64, 128, 256]
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=True, cache_percentage=1.0,
+        num_epoch=1, lr=0.01, root_path="/tmp",
+        frontier_capacities=tiny_caps, device_loop=True,
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+    assert r["contributed_steps"] == r["steps"], r
+    assert eng.capacities[-1] > tiny_caps[-1]
+
+
+def test_multi_chip_dynamic_cache_refresh():
+    """arch4 parity on the mesh (VERDICT round-2 item 7): the dynamic-cache
+    policy re-ranks the partitioned cache between epochs from the upcoming
+    batches' access frequency; training stays correct across the swap and
+    the refreshed cache still serves exact feature rows."""
+    from xgnn_tpu import RunConfig, synthetic
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    skewed = synthetic.make_synthetic_dataset(
+        num_node=2000, avg_degree=6, feat_dim=16, num_class=4, seed=13,
+        train_frac=0.3, power_law="rmat",
+    )
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=3, model="graphsage", sample_type="khop3",
+        num_worker=NUM_DEV, use_dist_graph=False, part_cache=True,
+        cache_policy="dynamic_cache", cache_percentage=0.2,
+        presample_epoch=1, pipeline=True, calibration_batches=2,
+        root_path="/tmp", lr=0.01,
+    )
+    eng = MultiChipEngine(skewed, config).init()
+    assert eng.two_phase
+    posmap0 = np.asarray(eng.posmap).copy()
+    r0 = eng.train_epoch(0)  # triggers refresh for epoch 1
+    posmap1 = np.asarray(eng.posmap)
+    assert posmap0.shape == posmap1.shape
+    # the cache table was actually rebuilt (same size, re-ranked)
+    n_cached0 = int((posmap0[: skewed.num_node] != EMPTY_KEY).sum())
+    n_cached1 = int((posmap1[: skewed.num_node] != EMPTY_KEY).sum())
+    assert n_cached0 == n_cached1 == eng.num_cache
+    r1 = eng.train_epoch(1)
+    r2 = eng.train_epoch(2)
+    assert all(np.isfinite(r["loss"]) for r in (r0, r1, r2))
+    # the refreshed cache tracks actual access: hit rate should not collapse
+    assert r2["hit_rate"] > 0.3, r2
+    # spot-check served rows after the swap: run an eval batch — the
+    # exact-count invariant inside evaluate() already asserts consistency
+    acc = eng.evaluate("valid", max_batches=2)
+    assert np.isfinite(acc)

@@ -228,3 +228,169 @@ def test_sage_gradient_parity(rng):
         np.asarray(grads["Dense_1"]["bias"]), b.grad.numpy(),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_gcn_gradient_parity(rng):
+    """GCN (aggregate-first reordered path) gradients vs torch autograd —
+    the reorder ``agg(norm·h)W == agg(norm·(hW))`` must hold in the VJP."""
+    blk = _random_block(rng, num_dst=12, num_src=40, fanout=4,
+                        dst_cap=16, src_cap=48)
+    h = rng.standard_normal((48, 8)).astype(np.float32)
+    conv = GCNConv(out_dim=4)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+
+    def loss_fn(p):
+        out = conv.apply(p, blk, jnp.asarray(h))
+        return jnp.sum(out[: int(blk.num_dst)] ** 2)
+
+    grads = jax.grad(loss_fn)(params)["params"]
+
+    w = torch.from_numpy(
+        np.asarray(params["params"]["Dense_0"]["kernel"])
+    ).requires_grad_()
+    b = torch.from_numpy(
+        np.asarray(params["params"]["bias"])
+    ).requires_grad_()
+    ht = torch.from_numpy(h)
+    n = torch.from_numpy(np.asarray(blk.neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    out_deg = torch.zeros(h.shape[0])
+    out_deg.scatter_add_(0, safe.reshape(-1), mask.reshape(-1).float())
+    hw = ht @ w
+    hw_norm = hw / out_deg.clamp(min=1).sqrt().unsqueeze(-1)
+    msgs = hw_norm[safe] * mask.unsqueeze(-1)
+    agg = msgs.sum(1)
+    in_deg = mask.sum(1).float()
+    out = agg / in_deg.clamp(min=1).sqrt().unsqueeze(-1) + b
+    (out[: int(blk.num_dst)] ** 2).sum().backward()
+
+    np.testing.assert_allclose(
+        np.asarray(grads["Dense_0"]["kernel"]), w.grad.numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["bias"]), b.grad.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_pinsage_gradient_parity(rng):
+    """PinSAGE (visit-weighted mean) gradients vs torch autograd."""
+    blk = _random_block(rng, num_dst=12, num_src=40, fanout=4,
+                        dst_cap=16, src_cap=48)
+    wts = (rng.random((16, 4)).astype(np.float32) + 0.5) * np.asarray(
+        blk.neigh != EMPTY_KEY
+    )
+    from xgnn_tpu.types import Block as _B
+
+    blk = _B(neigh=blk.neigh, num_dst=blk.num_dst, num_src=blk.num_src,
+             weights=jnp.asarray(wts))
+    h = rng.standard_normal((48, 8)).astype(np.float32)
+    conv = PinSAGEConv(out_dim=4)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+
+    def loss_fn(p):
+        out = conv.apply(p, blk, jnp.asarray(h))
+        return jnp.sum(out[: int(blk.num_dst)] ** 2)
+
+    grads = jax.grad(loss_fn)(params)["params"]
+
+    w_self = torch.from_numpy(
+        np.asarray(params["params"]["Dense_0"]["kernel"])
+    ).requires_grad_()
+    w_neigh = torch.from_numpy(
+        np.asarray(params["params"]["Dense_1"]["kernel"])
+    ).requires_grad_()
+    b = torch.from_numpy(
+        np.asarray(params["params"]["Dense_1"]["bias"])
+    ).requires_grad_()
+    ht = torch.from_numpy(h)
+    n = torch.from_numpy(np.asarray(blk.neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    wt = torch.from_numpy(wts) * mask
+    rows = ht[safe] * wt.unsqueeze(-1)
+    mean = rows.sum(1) / wt.sum(1, keepdim=True).clamp(min=1e-9)
+    out = ht[: mean.shape[0]] @ w_self + mean @ w_neigh + b
+    (out[: int(blk.num_dst)] ** 2).sum().backward()
+
+    for got, want in (
+        (grads["Dense_0"]["kernel"], w_self.grad),
+        (grads["Dense_1"]["kernel"], w_neigh.grad),
+        (grads["Dense_1"]["bias"], b.grad),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-3, atol=1e-4
+        )
+
+
+def _torch_gat_loss(params_np, h, neigh, heads, out_dim, num_dst):
+    """Autograd-able torch GAT twin: returns (loss, {name: grad})."""
+    in_dim = h.shape[1]
+    kernel = torch.from_numpy(params_np["kernel"]).requires_grad_()
+    attn_l = torch.from_numpy(params_np["attn_l"]).requires_grad_()
+    attn_r = torch.from_numpy(params_np["attn_r"]).requires_grad_()
+    ht = torch.from_numpy(h)
+    z = (ht @ kernel.reshape(in_dim, heads * out_dim)).reshape(
+        -1, heads, out_dim
+    )
+    el = (z * attn_l).sum(-1)
+    er = (z * attn_r).sum(-1)
+    n = torch.from_numpy(np.asarray(neigh))
+    mask = n != EMPTY_KEY
+    safe = torch.where(mask, n, torch.zeros_like(n)).long()
+    dst_cap = n.shape[0]
+    e = el[:dst_cap].unsqueeze(1) + er[safe]
+    e = torch.nn.functional.leaky_relu(e, 0.2)
+    e = torch.where(mask.unsqueeze(-1), e, torch.full_like(e, -torch.inf))
+    a = torch.softmax(e, dim=1)
+    a = torch.nan_to_num(a) * mask.unsqueeze(-1)
+    out = (z[safe] * a.unsqueeze(-1)).sum(1).reshape(dst_cap, heads * out_dim)
+    loss = (out[:num_dst] ** 2).sum()
+    loss.backward()
+    return {
+        "kernel": kernel.grad.numpy(),
+        "attn_l": attn_l.grad.numpy(),
+        "attn_r": attn_r.grad.numpy(),
+    }
+
+
+@pytest.mark.parametrize(
+    "heads,out_dim,acc_limit,mat_limit,path",
+    [
+        (1, 8, 10**9, 10**9, "aggregate-first"),   # in 8 <= H*D 8
+        (8, 8, 10**9, 10**9, "aggregate-first"),   # multi-head
+        (8, 8, 0, 10**9, "contraction"),           # forced contraction
+        (8, 8, 0, 0, "per-pick-transform"),        # forced per-pick
+        (1, 2, 10**9, 10**9, "transform-first"),   # in 8 > H*D 2
+        (8, 8, 0, 10**9, "contraction-again"),
+    ],
+)
+def test_gat_gradient_parity(rng, heads, out_dim, acc_limit, mat_limit, path):
+    """GAT gradients vs torch autograd through EVERY execution path — the
+    online-softmax stop_gradient telescoping (models/gnn.py _online_attend)
+    and the folded attention projections are exactly where a VJP bug hides
+    (VERDICT round-2 item 4)."""
+    blk = _random_block(rng, num_dst=12, num_src=40, fanout=4,
+                        dst_cap=16, src_cap=48)
+    h = rng.standard_normal((48, 8)).astype(np.float32)
+    conv = GATConv(out_dim=out_dim, num_heads=heads,
+                   acc_limit=acc_limit, mat_limit=mat_limit)
+    params = conv.init(jax.random.key(0), blk, jnp.asarray(h))
+
+    def loss_fn(p):
+        out = conv.apply(p, blk, jnp.asarray(h))
+        return jnp.sum(out[: int(blk.num_dst)] ** 2)
+
+    grads = jax.grad(loss_fn)(params)["params"]
+    params_np = {
+        k: np.asarray(v) for k, v in params["params"].items()
+    }
+    want = _torch_gat_loss(
+        params_np, h, blk.neigh, heads, out_dim, int(blk.num_dst)
+    )
+    for name in ("kernel", "attn_l", "attn_r"):
+        np.testing.assert_allclose(
+            np.asarray(grads[name]), want[name], rtol=2e-3, atol=2e-4,
+            err_msg=f"{path}: grad mismatch on {name}",
+        )

@@ -146,19 +146,17 @@ class MultiChipEngine:
         self.partial_cache = 0.0 < pct < 1.0
         self.two_phase = self.partial_cache
         # hierarchical mesh: store shards span each ICI group; batches span
-        # every chip (the PartitionSolver-analog placement)
+        # every chip (the PartitionSolver-analog placement) — in BOTH
+        # execution shapes (fused and two-phase GGMS)
         self.num_groups = config.num_dcn_groups
         if self.num_groups > 1:
             assert config.num_worker % self.num_groups == 0
-            assert not self.two_phase, (
-                "hierarchical (DCN) meshes currently drive the fused "
-                "all-HBM path"
-            )
             self.mesh = make_mesh_2d(self.num_groups, devices=self.devices)
         else:
             self.mesh = make_mesh(devices=self.devices)
         # store partition count = chips per ICI group
         self.num_parts = config.num_worker // self.num_groups
+        self._dcn = DCN_AXIS if self.num_groups > 1 else None
 
     # ------------------------------------------------------------------ init
     def init(self):
@@ -281,25 +279,7 @@ class MultiChipEngine:
                 ranking = np.arange(self.ds.num_node, dtype=np.int32)
             else:
                 ranking = build_ranking(self.ds, cfg, freq)
-            posmap, cache_parts, self.num_cache = build_cache(
-                feat_host, ranking, cfg.cache_percentage,
-                p if cfg.part_cache else 1,
-            )
-            from ..ops.tiled import pad_tile as _pt
-
-            self.posmap = put_replicated(
-                jnp.asarray(_pt(posmap, fill=EMPTY)), self.mesh
-            )
-            if cfg.part_cache:
-                self.cache_parts = put_sharded(cache_parts, self.mesh)
-            else:  # SGNN mode: the same cache replicated on every chip
-                self.cache_parts = put_sharded(
-                    np.broadcast_to(
-                        cache_parts.reshape(1, *cache_parts.shape[1:]),
-                        (p,) + cache_parts.shape[1:],
-                    ).copy(),
-                    self.mesh,
-                )
+            self._build_feature_cache(ranking)
         else:
             self.feat_parts = put_sharded(
                 shard_interleaved(feat_host, p), self.mesh
@@ -325,6 +305,79 @@ class MultiChipEngine:
         self.profiler.log_init("model_init_time", time.perf_counter() - t0)
         self.profiler.log_mem_usage("model_init", self.devices[0])
         return self
+
+    def _build_feature_cache(self, ranking: np.ndarray):
+        """(Re)build the partitioned feature cache from a hottest-first
+        ranking: posmap (replicated node→position hashtable) + interleaved
+        cache partitions.  Used at init and by the dynamic-cache refresh
+        (reference ``GPUDynamicCacheManager::ReplaceCache``,
+        ``cuda/cuda_cache_manager.h:98-149``)."""
+        cfg = self.config
+        p = self.num_parts
+        posmap, cache_parts, self.num_cache = build_cache(
+            self._feat_host, ranking, cfg.cache_percentage,
+            p if cfg.part_cache else 1,
+        )
+        from ..ops.tiled import pad_tile as _pt
+
+        self.posmap = put_replicated(
+            jnp.asarray(_pt(posmap, fill=EMPTY)), self.mesh
+        )
+        if cfg.part_cache:
+            self.cache_parts = put_sharded(cache_parts, self.mesh)
+        else:  # SGNN mode: the same cache replicated on every chip
+            self.cache_parts = put_sharded(
+                np.broadcast_to(
+                    cache_parts.reshape(1, *cache_parts.shape[1:]),
+                    (p,) + cache_parts.shape[1:],
+                ).copy(),
+                self.mesh,
+            )
+
+    def _dynamic_refresh(self, next_epoch: int):
+        """arch4 parity on the mesh: re-rank the cache from the access
+        frequency of the UPCOMING epoch's first batches (the reference
+        prefetches coming batches and replaces the cache with their hot set;
+        ``cuda_loops_arch4.cc``) and rebuild posmap/cache partitions."""
+        cfg = self.config
+        lanes = cfg.num_worker
+        p = self.num_parts
+        rows = -(-self.ds.num_node // p)
+        fn = make_presample_step(
+            cfg, self.mesh, self.capacities, self.seg_cap,
+            use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
+            **self._tier_kwargs(),
+        )
+        shufflers = [
+            Shuffler(
+                np.asarray(self.ds.train_set), cfg.batch_size,
+                num_worker=lanes, worker_id=w, seed=cfg.seed + 1,
+            )
+            for w in range(lanes)
+        ]
+        iters = [s.epoch_batches(next_epoch) for s in shufflers]
+        num_probe = max(cfg.calibration_batches, 1)
+        base = jax.random.fold_in(
+            jax.random.key(cfg.seed ^ 0xD1), next_epoch
+        )
+        freq = self._put_lanes(np.zeros((lanes, rows), np.int32))
+        for step in range(num_probe):
+            seeds, nums = self._seed_shards(iters, lanes)
+            keys = np.asarray(jax.random.key_data(
+                jax.random.split(jax.random.fold_in(base, step), lanes)
+            ))
+            freq, _ = fn(
+                freq, self.topo, self._put_batch(seeds),
+                self._put_batch(nums), self._put_batch(keys),
+            )
+        parts = _to_host(freq).reshape(self.num_groups, p, -1).sum(axis=0)
+        full = np.zeros(parts.shape[0] * parts.shape[1], np.int64)
+        for w in range(p):
+            full[w::p] = parts[w]
+        ranking = np.argsort(
+            -full[: self.ds.num_node], kind="stable"
+        ).astype(np.int32)
+        self._build_feature_cache(ranking)
 
     def _derive_exchange_caps(self):
         p = self.num_parts
@@ -359,10 +412,15 @@ class MultiChipEngine:
                 cfg, self.mesh, self.capacities, self.seg_cap, self.miss_cap,
                 use_dist_graph=cfg.use_dist_graph,
                 partitioned_cache=cfg.part_cache,
+                dcn_axis=self._dcn,
                 **self._tier_kwargs(),
             )
-            self._fn_b = make_combine_train_step(self.model, cfg, self.mesh)
-            self._fn_eval = make_eval_step(self.model, self.mesh)
+            self._fn_b = make_combine_train_step(
+                self.model, cfg, self.mesh, dcn_axis=self._dcn
+            )
+            self._fn_eval = make_eval_step(
+                self.model, self.mesh, dcn_axis=self._dcn
+            )
         else:
             # node-access analytics needs the fused program to emit its
             # frontier (captured at build time: enable via env or
@@ -389,10 +447,7 @@ class MultiChipEngine:
         DistEngine presample barrier, dist_engine.cc:453-469)."""
         cfg = self.config
         p = self.num_parts
-        if self.num_groups > 1:
-            # hierarchical mesh: fused path, default capacities (the
-            # presample/calibration programs are 1D-mesh shaped)
-            return None
+        lanes = cfg.num_worker  # G*P chips, each presampling its batch shard
         need_freq = (
             self.two_phase
             and cfg.cache_policy in _PRESAMPLE_POLICIES
@@ -403,15 +458,15 @@ class MultiChipEngine:
             return None
 
         rows = -(-self.ds.num_node // p)
-        freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
+        freq = self._put_lanes(np.zeros((lanes, rows), np.int32))
 
         def run_steps(fn, num_steps, epoch, freq):
             shufflers = [
                 Shuffler(
                     np.asarray(self.ds.train_set), cfg.batch_size,
-                    num_worker=p, worker_id=w, seed=cfg.seed ^ 0x5EED,
+                    num_worker=lanes, worker_id=w, seed=cfg.seed ^ 0x5EED,
                 )
-                for w in range(p)
+                for w in range(lanes)
             ]
             iters = [s.epoch_batches(epoch) for s in shufflers]
             total = max(s.num_local_step for s in shufflers)
@@ -422,22 +477,22 @@ class MultiChipEngine:
             )
             sizes_acc = []
             for step in range(total):
-                seeds = np.full((p, self.capacities[0]), EMPTY, C.ID_DTYPE)
-                nums = np.zeros((p,), np.int32)
+                seeds = np.full((lanes, self.capacities[0]), EMPTY, C.ID_DTYPE)
+                nums = np.zeros((lanes,), np.int32)
                 for w, it in enumerate(iters):
                     s, n = next(it, (None, 0))
                     if s is not None:
                         seeds[w, : len(s)] = s
                     nums[w] = n
                 keys = jax.random.key_data(
-                    jax.random.split(jax.random.fold_in(base, step), p)
+                    jax.random.split(jax.random.fold_in(base, step), lanes)
                 )
                 freq, sizes = fn(
                     freq,
                     self.topo,
-                    put_sharded(seeds, self.mesh),
-                    put_sharded(nums, self.mesh),
-                    put_sharded(keys, self.mesh),
+                    self._put_batch(seeds),
+                    self._put_batch(nums),
+                    self._put_batch(np.asarray(keys)),
                 )
                 sizes_acc.append(sizes)
             return freq, sizes_acc
@@ -448,7 +503,8 @@ class MultiChipEngine:
             if cfg.cache_policy != CachePolicy.PRE_SAMPLE_STATIC:
                 return make_presample_step(
                     cfg, self.mesh, capacities, seg_cap,
-                    use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+                    use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
+                    **self._tier_kwargs(),
                 )
             from ..store.presample import static_presample_config
 
@@ -459,12 +515,14 @@ class MultiChipEngine:
             return make_presample_step(
                 scfg, self.mesh, scaps,
                 max(-(-scaps[-1] // p) * 2, 128),
-                use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+                use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
+                **self._tier_kwargs(),
             )
 
         fn = make_presample_step(
             cfg, self.mesh, self.capacities, self.seg_cap,
-            use_dist_graph=cfg.use_dist_graph, **self._tier_kwargs(),
+            use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
+            **self._tier_kwargs(),
         )
         sizes_acc = []
         if need_calib:
@@ -489,7 +547,7 @@ class MultiChipEngine:
                 # rebuild the presample program with tight shapes (or the
                 # all-neighbor expansion for presample_static)
                 fn = freq_fn(self.capacities, self.seg_cap)
-                freq = put_sharded(np.zeros((p, rows), np.int32), self.mesh)
+                freq = self._put_lanes(np.zeros((lanes, rows), np.int32))
                 freq, _ = run_steps(fn, None, 0, freq)
                 for e in range(1, cfg.presample_epoch):
                     freq, _ = run_steps(fn, None, e, freq)
@@ -504,8 +562,12 @@ class MultiChipEngine:
 
         if not need_freq:
             return None
-        # interleaved shards → full per-node counts: shard p row r = node p+P*r
-        parts = _to_host(freq)  # (P, rows), one D2H/allgather
+        # interleaved shards → full per-node counts: lane (g, p) row r =
+        # node p + P*r; groups hold counts of DIFFERENT batches over the
+        # SAME node shard p, so sum over the group axis first
+        parts = _to_host(freq).reshape(
+            self.num_groups, p, -1
+        ).sum(axis=0)  # (P, rows), one D2H/allgather
         full = np.zeros(parts.shape[0] * parts.shape[1], np.int64)
         for w in range(p):
             full[w::p] = parts[w]
@@ -522,14 +584,39 @@ class MultiChipEngine:
             nums[w] = n
         return seeds, nums
 
-    def _gather_miss_rows(self, miss_ids: np.ndarray) -> np.ndarray:
+    def _gather_miss_rows(self, miss_ids) -> jax.Array:
         """Host tier of the feature store: gather miss rows from host RAM
-        (OMP clib, the CPUExtract / GPUExtractMissData analog)."""
-        flat = miss_ids.reshape(-1).astype(np.int64)
-        flat = np.where(flat == EMPTY, -1, flat)
-        rows = clib.gather_rows(self._feat_host, flat)
-        return rows.reshape(
-            self.num_parts, -1, self._feat_host.shape[1]
+        (OMP clib, the CPUExtract / GPUExtractMissData analog).
+
+        Each controller serves ONLY its addressable chips' miss buffers —
+        no cross-process allgather of ids or rows; under multi-controller
+        JAX every host touches exactly the shards it owns (the reference's
+        per-trainer-process miss pipeline, ``dist/dist_loops.cc:811-936``).
+        The result is device-resident and sharded like program B expects.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        feat = self._feat_host
+        spec = (
+            PS(DATA_AXIS)
+            if self.num_groups == 1
+            else PS((DCN_AXIS, DATA_AXIS))
+        )
+        lanes = self.config.num_worker
+        arrays = []
+        for shard in miss_ids.addressable_shards:
+            ids = np.asarray(shard.data).reshape(-1).astype(np.int64)
+            ids = np.where(ids == EMPTY, -1, ids)
+            rows = clib.gather_rows(feat, ids)
+            arrays.append(
+                jax.device_put(
+                    rows.reshape(1, len(ids), feat.shape[1]), shard.device
+                )
+            )
+        return jax.make_array_from_single_device_arrays(
+            (lanes, self.miss_cap, feat.shape[1]),
+            NamedSharding(self.mesh, spec),
+            arrays,
         )
 
     def _finish_step(
@@ -537,14 +624,12 @@ class MultiChipEngine:
     ):
         outs, dkeys = pending
         t0 = time.perf_counter()
-        miss_ids = _to_host(outs["miss_ids"]).reshape(
-            self.num_parts, -1
-        )  # D2H sync point — overlapped with the next step's program A
-        miss_rows = self._gather_miss_rows(miss_ids)
+        # D2H sync point (per-shard pulls) — overlapped with the next
+        # step's program A
+        miss_rows = self._gather_miss_rows(outs["miss_ids"])
         t_copy = time.perf_counter() - t0
         self.state, metrics = self._fn_b(
-            self.state, outs, put_sharded(miss_rows, self.mesh),
-            put_sharded(dkeys, self.mesh),
+            self.state, outs, miss_rows, self._put_lanes(dkeys),
         )
         losses.append(metrics["loss"])
         accs.append(metrics["acc"])
@@ -557,7 +642,9 @@ class MultiChipEngine:
             # node-access analytics (XGNN_LOG_NODE_ACCESS): per-chip valid
             # input prefixes, host-pulled — opt-in analysis mode only
             # (shard_map concatenates per-chip lanes along dim 0)
-            ids = _to_host(outs["input_nodes"]).reshape(self.num_parts, -1)
+            ids = _to_host(outs["input_nodes"]).reshape(
+                self.config.num_worker, -1
+            )
             nin = _to_host(outs["num_input"]).reshape(-1)
             for w in range(ids.shape[0]):
                 self.profiler.log_node_access(ids[w, : int(nin[w])])
@@ -573,6 +660,17 @@ class MultiChipEngine:
                 (self.num_groups, self.num_parts) + arr.shape[1:]
             )
             return put_sharded(arr, self.mesh, spec=PS(DCN_AXIS, DATA_AXIS))
+        return put_sharded(arr, self.mesh)
+
+    def _put_lanes(self, arr):
+        """Place an ``(L, ...)`` per-chip-lane host array (group-major lane
+        order when hierarchical): one leading dim over ALL chips."""
+        from jax.sharding import PartitionSpec as PS
+
+        if self.num_groups > 1:
+            return put_sharded(
+                arr, self.mesh, spec=PS((DCN_AXIS, DATA_AXIS))
+            )
         return put_sharded(arr, self.mesh)
 
     def _put_steps(self, arr):
@@ -635,20 +733,31 @@ class MultiChipEngine:
                 raise RuntimeError(
                     f"sanity check failed: {sanity.explain(smax)}"
                 )
-        n_over = int(stats[2].sum())
+        over_flags = stats[2] > 0
+        n_over = int(over_flags.sum())
+        extra_losses, extra_accs = [], []
         if n_over:
             print(
                 f"warning: {n_over} steps hit exchange/frontier capacity in "
-                f"epoch {epoch}; growing capacities"
+                f"epoch {epoch}; growing capacities and replaying them"
             )
-            self._grow_capacities()
+            records = [
+                (seeds_np[s], nums_np[s], jax.random.fold_in(base_key, s))
+                for s in range(S)
+            ]
+            self._replay_overflowed(
+                records, over_flags, extra_losses, extra_accs
+            )
+            dt = time.perf_counter() - t0
         return {
             "epoch": epoch,
-            "loss": _nanmean(stats[0]),
-            "train_acc": _nanmean(stats[1]),
+            "loss": _nanmean(np.concatenate([stats[0], extra_losses])),
+            "train_acc": _nanmean(np.concatenate([stats[1], extra_accs])),
             "time": dt,
             "steps": S,
             "hit_rate": 1.0,
+            "contributed_steps": int(np.isfinite(stats[0]).sum())
+            + len(extra_losses),
         }
 
     def train_epoch(self, epoch: int) -> dict:
@@ -676,6 +785,7 @@ class MultiChipEngine:
 
         losses, accs, overflows = [], [], []
         hits, misses, sanities = [], [], []
+        records = []  # (seeds, nums, step_key) per step — the replay source
         t_epoch = time.perf_counter()
         t_prev = t_epoch
         copy_time = 0.0
@@ -685,6 +795,7 @@ class MultiChipEngine:
             for step in range(num_steps):
                 seeds, nums = self._seed_shards(iters, p)
                 step_key = jax.random.fold_in(base_key, step)
+                records.append((seeds, nums, step_key))
                 keys = jax.random.key_data(jax.random.split(step_key, p))
                 dkeys = jax.random.key_data(
                     jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
@@ -693,9 +804,9 @@ class MultiChipEngine:
                     self.profiler.trace_begin(epoch, step, "sample")
                 outs = self._fn_a(
                     self.topo, self.posmap, self.cache_parts, self.lab_parts,
-                    put_sharded(seeds, self.mesh),
-                    put_sharded(nums, self.mesh),
-                    put_sharded(keys, self.mesh),
+                    self._put_batch(seeds),
+                    self._put_batch(nums),
+                    self._put_batch(np.asarray(keys)),
                 )
                 if cfg.dump_trace:
                     self.profiler.trace_end(epoch, step, "sample")
@@ -728,6 +839,7 @@ class MultiChipEngine:
             for step in range(num_steps):
                 seeds, nums = self._seed_shards(iters, p)
                 step_key = jax.random.fold_in(base_key, step)
+                records.append((seeds, nums, step_key))
                 keys = jax.random.key_data(jax.random.split(step_key, p))
                 dkeys = jax.random.key_data(
                     jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
@@ -781,7 +893,9 @@ class MultiChipEngine:
         stats = np.asarray(jnp.stack([s.astype(jnp.float32) for s in stat_list[:3]]))
         hit_rate = 1.0
         if hits:
-            hm = np.asarray(jnp.stack(stat_list[3:]))
+            # hit/miss counters are lane-sharded before the sum — pull via
+            # the multi-controller-safe path
+            hm = _to_host(jnp.stack(stat_list[3:]))
             total = hm.sum(axis=1)
             hit_rate = float(total[0] / max(total[0] + total[1], 1.0))
             self.profiler.log_step(epoch, 0, P.L2_CACHE_HIT_RATE, hit_rate)
@@ -796,20 +910,37 @@ class MultiChipEngine:
                 raise RuntimeError(
                     f"sanity check failed: {sanity.explain(smax)}"
                 )
-        n_over = int(stats[2].sum())
+        over_flags = stats[2] > 0
+        n_over = int(over_flags.sum())
+        extra_losses, extra_accs = [], []
         if n_over:
             print(
                 f"warning: {n_over} steps hit exchange/frontier capacity in "
-                f"epoch {epoch}; growing capacities"
+                f"epoch {epoch}; growing capacities and replaying them"
             )
-            self._grow_capacities()
+            self._replay_overflowed(
+                records, over_flags, extra_losses, extra_accs
+            )
+            dt = time.perf_counter() - t_epoch
+        refresh_gate = (
+            cfg.barriered_epoch in (-1, 0) or epoch == cfg.barriered_epoch
+        )  # reference cuda_loops_arch4.cc:203
+        if (
+            self.two_phase
+            and cfg.cache_policy == CachePolicy.DYNAMIC
+            and refresh_gate
+            and epoch + 1 < cfg.num_epoch
+        ):
+            self._dynamic_refresh(epoch + 1)
         return {
             "epoch": epoch,
-            "loss": _nanmean(stats[0]),
-            "train_acc": _nanmean(stats[1]),
+            "loss": _nanmean(np.concatenate([stats[0], extra_losses])),
+            "train_acc": _nanmean(np.concatenate([stats[1], extra_accs])),
             "time": dt,
             "steps": num_steps,
             "hit_rate": hit_rate,
+            "contributed_steps": int(np.isfinite(stats[0]).sum())
+            + len(extra_losses),
         }
 
     def _grow_capacities(self):
@@ -825,6 +956,78 @@ class MultiChipEngine:
             self.cold_cap *= 2
         self._build_step_fns()
         self._mc_epoch_program = None  # scan wraps the rebuilt step
+
+    def _run_one_step(self, seeds, nums, step_key):
+        """Run ONE training step outside the pipelined loop (the replay
+        path).  Key derivation matches the epoch loops exactly, so a
+        replayed step consumes the same randomness its skipped original
+        would have."""
+        cfg = self.config
+        p = cfg.num_worker
+        keys = np.asarray(jax.random.key_data(jax.random.split(step_key, p)))
+        dkeys = np.asarray(
+            jax.random.key_data(
+                jax.random.split(jax.random.fold_in(step_key, 1 << 20), p)
+            )
+        )
+        if self.two_phase:
+            outs = self._fn_a(
+                self.topo, self.posmap, self.cache_parts, self.lab_parts,
+                self._put_batch(seeds), self._put_batch(nums),
+                self._put_batch(keys),
+            )
+            miss_rows = self._gather_miss_rows(outs["miss_ids"])
+            self.state, metrics = self._fn_b(
+                self.state, outs, miss_rows, self._put_lanes(dkeys)
+            )
+        else:
+            outs = self.step_fn(
+                self.state, self.topo, self.feat_parts, self.lab_parts,
+                self._put_batch(seeds), self._put_batch(nums),
+                self._put_batch(keys), self._put_batch(dkeys),
+            )
+            if getattr(self, "_emit_access", False):
+                self.state, metrics, _ = outs
+            else:
+                self.state, metrics = outs
+        # metrics are replicated scalars — addressable on every controller
+        loss = float(np.asarray(metrics["loss"]))
+        acc = float(np.asarray(metrics["acc"]))
+        of = bool(np.asarray(metrics["exchange_overflow"]))
+        return loss, acc, of
+
+    _MAX_GROWTHS = 4
+
+    def _replay_overflowed(self, records, flags, losses_out, accs_out):
+        """Re-run every overflowed step with its original seeds and keys
+        after growing capacities — no batch is ever dropped (the reference
+        allocates per task and never skips, ``dist/dist_loops.cc:130-136``;
+        with static shapes the equivalent guarantee is replay-after-growth).
+        Overflowed steps skipped their update on device, so each batch
+        contributes exactly one update."""
+        todo = [records[i] for i in np.nonzero(flags)[0]]
+        attempts = 0
+        while todo and attempts < self._MAX_GROWTHS:
+            attempts += 1
+            self._grow_capacities()
+            print(
+                f"replaying {len(todo)} overflowed steps at grown "
+                f"capacities {self.capacities}"
+            )
+            still = []
+            for seeds, nums, step_key in todo:
+                loss, acc, of = self._run_one_step(seeds, nums, step_key)
+                if of:
+                    still.append((seeds, nums, step_key))
+                else:
+                    losses_out.append(loss)
+                    accs_out.append(acc)
+            todo = still
+        if todo:
+            raise RuntimeError(
+                f"{len(todo)} steps still overflow after {attempts} "
+                f"capacity growths (capacities {self.capacities})"
+            )
 
     # ------------------------------------------------------------- evaluate
     def evaluate(self, split: str = "valid", max_batches=None) -> float:
@@ -848,29 +1051,23 @@ class MultiChipEngine:
         if max_batches is not None:
             num_steps = min(num_steps, max_batches)
         correct = total = 0.0
-        n_over = 0
         params = self.state.params
-        for step in range(num_steps):
-            seeds, nums = self._seed_shards(iters, p)
-            keys = jax.random.key_data(
+
+        def eval_one(seeds, nums, step):
+            keys = np.asarray(jax.random.key_data(
                 jax.random.split(
                     jax.random.fold_in(jax.random.key(123), step), p
                 )
-            )
+            ))
             if self.two_phase:
                 outs = self._fn_a(
                     self.topo, self.posmap, self.cache_parts, self.lab_parts,
-                    put_sharded(seeds, self.mesh),
-                    put_sharded(nums, self.mesh),
-                    put_sharded(keys, self.mesh),
+                    self._put_batch(seeds),
+                    self._put_batch(nums),
+                    self._put_batch(keys),
                 )
-                miss_ids = _to_host(outs["miss_ids"]).reshape(
-                    self.num_parts, -1
-                )
-                miss_rows = self._gather_miss_rows(miss_ids)
-                c, t, of = self._fn_eval(
-                    params, outs, put_sharded(miss_rows, self.mesh)
-                )
+                miss_rows = self._gather_miss_rows(outs["miss_ids"])
+                c, t, of = self._fn_eval(params, outs, miss_rows)
             else:
                 c, t, of = self._fn_eval(
                     params, self.topo, self.feat_parts, self.lab_parts,
@@ -878,14 +1075,46 @@ class MultiChipEngine:
                     self._put_batch(nums),
                     self._put_batch(keys),
                 )
-            correct += float(c)
-            total += float(t)
-            n_over += int(np.asarray(of).max())
-        if n_over:
+            return float(c), float(t), bool(np.asarray(of).max())
+
+        retry = []
+        issued = 0
+        for step in range(num_steps):
+            seeds, nums = self._seed_shards(iters, p)
+            issued += int(np.sum(nums))
+            c, t, of = eval_one(seeds, nums, step)
+            if of:
+                # the step's counts are zeroed on device — re-run it below
+                # with grown capacities so every node is counted once
+                retry.append((seeds, nums, step))
+                continue
+            correct += c
+            total += t
+        attempts = 0
+        while retry and attempts < self._MAX_GROWTHS:
+            attempts += 1
             print(
-                f"warning: {n_over}/{num_steps} eval batches overflowed "
-                f"capacity and were excluded from the accuracy"
+                f"re-running {len(retry)} overflowed eval batches at grown "
+                f"capacities"
             )
+            self._grow_capacities()
+            still = []
+            for seeds, nums, step in retry:
+                c, t, of = eval_one(seeds, nums, step)
+                if of:
+                    still.append((seeds, nums, step))
+                else:
+                    correct += c
+                    total += t
+            retry = still
+        if retry:
+            raise RuntimeError(
+                f"{len(retry)} eval batches still overflow after "
+                f"{attempts} capacity growths"
+            )
+        # exact-count invariant: every issued seed counted exactly once
+        assert int(total) == issued, (total, issued)
+        self._last_eval_total = int(total)
         if total == 0.0:
             return float("nan")
         return correct / total

@@ -299,6 +299,7 @@ def make_sample_split_step(
     host_sampler=None,
     cold_cap: int = 0,
     partitioned_cache: bool = True,
+    dcn_axis=None,
 ):
     """Program A: sample a mini-batch per chip, gather cache hits through the
     partition exchange, compact misses for the host, gather labels.
@@ -309,11 +310,23 @@ def make_sample_split_step(
             -> dict(packed batch, hit_rows, miss_ids, miss_pos, num_miss,
                     num_hit, labels, overflow)
 
-    Every output leaf is sharded over ``axis_name`` (scalars as (P,) lanes);
-    only ``miss_ids`` needs to reach the host.
+    Every output leaf is sharded over the batch axes (scalars as per-chip
+    lanes); only ``miss_ids`` needs to reach the host.
+
+    With ``dcn_axis`` set (hierarchical mesh): the topology/cache shard over
+    ``axis_name`` (ICI) per group and replicate across ``dcn_axis`` — the
+    exchange collectives inside stay on the fast links; batch leaves carry a
+    group-major chip lane (the two-phase counterpart of
+    ``make_collocated_train_step``'s DCN placement).
     """
     fanouts = _layer_fanouts(config)
     caps = tuple(int(c) for c in capacities)
+    batch_spec = (
+        PS(axis_name) if dcn_axis is None else PS(dcn_axis, axis_name)
+    )
+    lane_spec = (
+        PS(axis_name) if dcn_axis is None else PS((dcn_axis, axis_name))
+    )
     tier = (
         dict(
             num_cache_node=num_cache_node, host_sampler=host_sampler,
@@ -363,18 +376,18 @@ def make_sample_split_step(
             PS(),  # posmap (replicated, the sampler-side cache hashtable)
             PS(axis_name),  # cache partitions
             PS(axis_name),  # label parts
-            PS(axis_name),  # seeds
-            PS(axis_name),  # num_seeds
-            PS(axis_name),  # sample keys
+            batch_spec,  # seeds
+            batch_spec,  # num_seeds
+            batch_spec,  # sample keys
         ),
-        out_specs=PS(axis_name),
+        out_specs=lane_spec,
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
 def make_combine_train_step(
-    model, config: RunConfig, mesh, axis_name: str = DATA_AXIS
+    model, config: RunConfig, mesh, axis_name: str = DATA_AXIS, dcn_axis=None
 ):
     """Program B: scatter host-gathered miss rows into the hit rows, then
     forward/backward/psum/update with the on-device skip-on-overflow.
@@ -384,6 +397,10 @@ def make_combine_train_step(
         (state, packed, miss_rows, dkeys) -> (state, metrics)
     """
     tx = make_optimizer(config)
+    grad_axes = (axis_name,) if dcn_axis is None else (dcn_axis, axis_name)
+    lane_spec = (
+        PS(axis_name) if dcn_axis is None else PS((dcn_axis, axis_name))
+    )
 
     def per_chip(state, packed, miss_rows, drop_key):
         drop_key = jax.random.wrap_key_data(drop_key.reshape(-1))
@@ -396,7 +413,7 @@ def make_combine_train_step(
         blocks = unpack_blocks(packed)
         labels = packed["labels"]
         num_output = packed["num_output"].reshape(())
-        skip = jax.lax.pmax(packed["overflow"].reshape(()), axis_name)
+        skip = jax.lax.pmax(packed["overflow"].reshape(()), grad_axes)
 
         def compute_loss(params):
             logits = model.apply(
@@ -410,12 +427,12 @@ def make_combine_train_step(
         )
         # seed-count-weighted reduction — see make_collocated_train_step
         w = num_output.astype(jnp.float32)
-        wsum = jnp.maximum(jax.lax.psum(w, axis_name), 1.0)
+        wsum = jnp.maximum(jax.lax.psum(w, grad_axes), 1.0)
         grads = jax.tree.map(
-            lambda g: jax.lax.psum(g * w, axis_name) / wsum, grads
+            lambda g: jax.lax.psum(g * w, grad_axes) / wsum, grads
         )
-        loss = jax.lax.psum(loss * w, axis_name) / wsum
-        acc = jax.lax.psum(acc * w, axis_name) / wsum
+        loss = jax.lax.psum(loss * w, grad_axes) / wsum
+        acc = jax.lax.psum(acc * w, grad_axes) / wsum
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         keep = lambda old, new: jax.tree.map(
@@ -435,30 +452,34 @@ def make_combine_train_step(
         }
         if config.sanity_check:
             metrics["sanity"] = jax.lax.pmax(
-                packed["sanity"].reshape(()), axis_name
+                packed["sanity"].reshape(()), grad_axes
             )
         return new_state, metrics
 
     sharded = shard_map(
         per_chip,
         mesh=mesh,
-        in_specs=(PS(), PS(axis_name), PS(axis_name), PS(axis_name)),
+        in_specs=(PS(), lane_spec, lane_spec, lane_spec),
         out_specs=(PS(), PS()),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_eval_step(model, mesh, axis_name: str = DATA_AXIS):
+def make_eval_step(model, mesh, axis_name: str = DATA_AXIS, dcn_axis=None):
     """Forward-only B program: combine features, count correct predictions.
 
     Returned jitted fn:: (params, packed, miss_rows)
         -> (correct, total, overflow) (replicated scalars, psum-reduced).
     Overflowed steps (exchange/frontier capacity anywhere on the mesh)
-    contribute ZERO to both counts — their feature/label rows are corrupt,
-    so counting them would silently skew the reported accuracy (the
-    training step skips such updates for the same reason).
+    contribute ZERO to both counts — their feature/label rows are corrupt;
+    the engine re-runs them after growing capacities so every node is
+    counted exactly once.
     """
+    count_axes = (axis_name,) if dcn_axis is None else (dcn_axis, axis_name)
+    lane_spec = (
+        PS(axis_name) if dcn_axis is None else PS((dcn_axis, axis_name))
+    )
 
     def per_chip(params, packed, miss_rows):
         x = combine_miss(
@@ -470,20 +491,22 @@ def make_eval_step(model, mesh, axis_name: str = DATA_AXIS):
         blocks = unpack_blocks(packed)
         labels = packed["labels"]
         num_output = packed["num_output"].reshape(())
-        of = jax.lax.pmax(packed["overflow"].reshape(()), axis_name)
+        of = jax.lax.pmax(packed["overflow"].reshape(()), count_axes)
         valid = 1.0 - of.astype(jnp.float32)
         logits = model.apply({"params": params}, blocks, x, False)
         n = logits.shape[0]
         mask = (jnp.arange(n) < num_output).astype(jnp.float32)
         correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) * valid
-        correct = jax.lax.psum(correct, axis_name)
-        total = jax.lax.psum(num_output.astype(jnp.float32) * valid, axis_name)
+        correct = jax.lax.psum(correct, count_axes)
+        total = jax.lax.psum(
+            num_output.astype(jnp.float32) * valid, count_axes
+        )
         return correct, total, of
 
     sharded = shard_map(
         per_chip,
         mesh=mesh,
-        in_specs=(PS(), PS(axis_name), PS(axis_name)),
+        in_specs=(PS(), lane_spec, lane_spec),
         out_specs=(PS(), PS(), PS()),
         check_vma=False,
     )
@@ -580,6 +603,7 @@ def make_presample_step(
     num_cache_node=None,
     host_sampler=None,
     cold_cap: int = 0,
+    dcn_axis=None,
 ):
     """Presample program: run the real sampler and accumulate per-node access
     frequency into an interleave-sharded count array, all on device
@@ -593,9 +617,22 @@ def make_presample_step(
             -> (freq_parts', frontier_sizes (P, L+1))
 
     ``frontier_sizes`` feeds capacity calibration (PredictNumNodes analog).
+
+    With ``dcn_axis``: every chip (in every group) presamples its own batch
+    shard; counts accumulate into per-chip lanes of a ``(G*P, rows)`` array
+    (group-major) — the host sums over groups before ranking, since chip
+    ``(g, p)`` of each group counts accesses to the same interleaved node
+    shard ``p``.
     """
     fanouts = _layer_fanouts(config)
     caps = tuple(int(c) for c in capacities)
+    batch_spec = (
+        PS(axis_name) if dcn_axis is None else PS(dcn_axis, axis_name)
+    )
+    lane_spec = (
+        PS(axis_name) if dcn_axis is None else PS((dcn_axis, axis_name))
+    )
+    size_axes = (axis_name,) if dcn_axis is None else (dcn_axis, axis_name)
     # the COUNTING exchange uses a worst-case segment (every input owned by
     # one chip): presample runs before calibration, and dropping over-cap
     # requests would under-count exactly the hottest nodes — the ones the
@@ -637,20 +674,20 @@ def make_presample_step(
         )
         # replicated max over chips: a single host-addressable (L+1,) array
         # even under multi-controller JAX
-        sizes = jax.lax.pmax(sizes, axis_name)
+        sizes = jax.lax.pmax(sizes, size_axes)
         return freq[None], sizes
 
     sharded = shard_map(
         per_chip,
         mesh=mesh,
         in_specs=(
-            PS(axis_name),
+            lane_spec,
             PS(axis_name) if use_dist_graph else PS(),
-            PS(axis_name),
-            PS(axis_name),
-            PS(axis_name),
+            batch_spec,
+            batch_spec,
+            batch_spec,
         ),
-        out_specs=(PS(axis_name), PS()),
+        out_specs=(lane_spec, PS()),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
