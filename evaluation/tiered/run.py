@@ -55,6 +55,17 @@ def main():
                     help="pin this much HBM to emulate a smaller chip "
                          "(simulate_v100_16g analog) so a smaller feature "
                          "matrix is still genuinely out-of-core")
+    ap.add_argument("--no-pipeline", dest="pipeline", action="store_false",
+                    default=True,
+                    help="disable the A/B overlap (program A of step n+1 "
+                         "vs host miss gather of step n) — the pipeline-off "
+                         "arm of the overlap evidence")
+    ap.add_argument("--engine", choices=("single", "multi"),
+                    default="single",
+                    help="'multi' drives the explicit two-phase A/B seam "
+                         "(MultiChipEngine, num_worker=1) — the "
+                         "dist_loops_arch6 --pipeline overlap under test")
+    ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--small", action="store_true",
                     help="CPU smoke test at tiny scale")
     args = ap.parse_args()
@@ -107,33 +118,56 @@ def main():
 
     config = RunConfig(
         batch_size=args.batch_size, fanout=(15, 10, 5), num_layer=3,
-        num_hidden=256, model="graphsage", sample_type="khop3",
+        num_hidden=args.hidden, model="graphsage", sample_type="khop3",
         cache_percentage=args.cache, cache_policy="pre_sample",
-        presample_epoch=1, pipeline=True, num_epoch=args.epochs,
+        presample_epoch=1, pipeline=args.pipeline, num_epoch=args.epochs,
         calibration_batches=2, root_path="/tmp", dataset="tiered_synth",
     )
-    eng = Engine(ds, config)
+    if args.engine == "multi":
+        from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+        config.num_worker = 1
+        config.part_cache = True
+        eng = MultiChipEngine(ds, config)
+    else:
+        eng = Engine(ds, config)
     t0 = time.time()
     eng.init()
-    print(f"# init {time.time()-t0:.0f}s caps={eng.sampler.capacities} "
-          f"cache={eng.feature_source.num_cache}", file=sys.stderr)
+    caps = eng.capacities if args.engine == "multi" else eng.sampler.capacities
+    ncache = eng.num_cache if args.engine == "multi" else eng.feature_source.num_cache
+    print(f"# init {time.time()-t0:.0f}s caps={caps} cache={ncache}",
+          file=sys.stderr)
 
     rows = []
     for epoch in range(args.epochs):
         r = eng.train_epoch(epoch)
         prof = eng.profiler
-        hit = prof._step_items.get((epoch, 0), {}).get("cache_hit_rate", 0.0)
+        hit = r.get(
+            "hit_rate",
+            prof._step_items.get((epoch, 0), {}).get("cache_hit_rate", 0.0),
+        )
+        copy_t = prof._epoch_items.get(epoch, {}).get("copy_time", 0.0)
         print(f"# epoch {epoch}: {r['time']:.1f}s loss={r['loss']:.3f} "
-              f"hit_rate={hit:.3f}", file=sys.stderr)
+              f"hit_rate={hit:.3f} copy_time={copy_t:.1f}s", file=sys.stderr)
         rows.append((epoch, r["time"], hit))
 
     # throughput: edges aggregated per second (headline axis)
     from xgnn_tpu.engine.shuffler import Shuffler
 
     shuffler = Shuffler(ds.train_set, args.batch_size, seed=config.seed + 1)
-    batch = eng.sampler.sample(
-        jnp.asarray(next(shuffler.epoch_batches(1))[0]),
-        args.batch_size, jax.random.key(9),
+    if args.engine == "multi":
+        from xgnn_tpu.sampler import Sampler
+
+        count_sampler = Sampler(eng._graph, config, list(caps))
+    else:
+        count_sampler = eng.sampler
+    from xgnn_tpu import constants as C
+
+    seeds0 = np.full(caps[0], C.EMPTY_KEY, C.ID_DTYPE)
+    first = next(shuffler.epoch_batches(1))[0]
+    seeds0[: len(first)] = first
+    batch = count_sampler.sample(
+        jnp.asarray(seeds0), len(first), jax.random.key(9)
     )
     edges = float(np.asarray(
         sum(jnp.sum(b.mask, dtype=jnp.int32) for b in batch.blocks)
@@ -157,6 +191,7 @@ def main():
         note = "host-tier H2D is tunnel-bound in this environment"
         if args.ballast_gb:
             note += f"; ballast={args.ballast_gb:.1f}GB"
+        note += f"; pipeline={'on' if args.pipeline else 'off'}"
         f.write(
             f"{mode}\t{args.nodes}\t{gb:.1f}\t{args.cache}\t"
             f"{rows[-1][2]:.4f}\t{epoch_time:.2f}\t{eps:.0f}\t{note}\n"

@@ -53,10 +53,17 @@ def _mask_rows(nbr: jax.Array, deg: jax.Array) -> jax.Array:
     return jnp.where(deg[:, None] > 0, nbr, EMPTY)
 
 
-def sample_khop2(indptr, indices, frontier, fanout: int, key) -> jax.Array:
-    """Uniform with replacement; duplicates kept (reference khop2)."""
+def sample_khop2(
+    indptr, indices, frontier, fanout: int, key=None, *, u=None
+) -> jax.Array:
+    """Uniform with replacement; duplicates kept (reference khop2).
+
+    ``u``: optional pre-drawn ``(B, fanout)`` uniforms — the partitioned
+    owner path derives them per REQUEST (key x node x slot) so draws are
+    independent of the requesting chip (dist_topology._owner_sample)."""
     _, start, deg, _ = _frontier_meta(indptr, frontier)
-    u = jax.random.uniform(key, (frontier.shape[0], fanout))
+    if u is None:
+        u = jax.random.uniform(key, (frontier.shape[0], fanout))
     off = jnp.floor(u * deg[:, None]).astype(jnp.int32)
     off = jnp.minimum(off, jnp.maximum(deg - 1, 0)[:, None])
     nbr = take_1d(indices, start[:, None] + off)
@@ -72,12 +79,18 @@ def _dedup_rows(nbr: jax.Array) -> jax.Array:
     return jnp.where(dup, EMPTY, s)
 
 
-def sample_khop3(indptr, indices, frontier, fanout: int, key) -> jax.Array:
+def sample_khop3(
+    indptr, indices, frontier, fanout: int, key=None, *, u=None
+) -> jax.Array:
     """With replacement + per-node dedup (reference khop3, XGNN default)."""
-    return _dedup_rows(sample_khop2(indptr, indices, frontier, fanout, key))
+    return _dedup_rows(
+        sample_khop2(indptr, indices, frontier, fanout, key, u=u)
+    )
 
 
-def sample_khop0(indptr, indices, frontier, fanout: int, key) -> jax.Array:
+def sample_khop0(
+    indptr, indices, frontier, fanout: int, key=None, *, u=None
+) -> jax.Array:
     """Uniform *without* replacement (reference khop0/khop1).
 
     Vectorized partial Fisher-Yates over the virtual array ``A = [0..d)``:
@@ -91,7 +104,8 @@ def sample_khop0(indptr, indices, frontier, fanout: int, key) -> jax.Array:
     """
     b = frontier.shape[0]
     _, start, deg, _ = _frontier_meta(indptr, frontier)
-    u = jax.random.uniform(key, (b, fanout))
+    if u is None:
+        u = jax.random.uniform(key, (b, fanout))
 
     rec_pos = []  # displaced positions, one per step
     rec_val = []  # value stored at that position
@@ -121,19 +135,21 @@ def sample_khop0(indptr, indices, frontier, fanout: int, key) -> jax.Array:
 
 
 def sample_weighted_khop(
-    indptr, indices, prob_table, alias_table, frontier, fanout: int, key
+    indptr, indices, prob_table, alias_table, frontier, fanout: int,
+    key=None, *, u=None, coin=None,
 ) -> jax.Array:
     """Weighted sampling via per-node alias tables (reference
     ``cuda_sampling_weighted_khop.cu``; tables from engine.cc:360-374)."""
     _, start, deg, _ = _frontier_meta(indptr, frontier)
-    k_slot, k_coin = jax.random.split(key)
-    u = jax.random.uniform(k_slot, (frontier.shape[0], fanout))
+    if u is None:
+        k_slot, k_coin = jax.random.split(key)
+        u = jax.random.uniform(k_slot, (frontier.shape[0], fanout))
+        coin = jax.random.uniform(k_coin, (frontier.shape[0], fanout))
     slot = jnp.minimum(
         jnp.floor(u * deg[:, None]).astype(jnp.int32),
         jnp.maximum(deg - 1, 0)[:, None],
     )
     edge = start[:, None] + slot
-    coin = jax.random.uniform(k_coin, (frontier.shape[0], fanout))
     take_alias = coin >= take_1d(prob_table, edge)
     # alias_table entries are GLOBAL destination node ids, matching the
     # reference binary format (create_alias_table.cc:152 stores
@@ -147,13 +163,15 @@ def sample_weighted_khop(
 
 
 def sample_weighted_khop_hash_dedup(
-    indptr, indices, prob_table, alias_table, frontier, fanout: int, key
+    indptr, indices, prob_table, alias_table, frontier, fanout: int,
+    key=None, *, u=None, coin=None,
 ) -> jax.Array:
     """Alias draw + per-node dedup (reference
     ``cuda_sampling_weighted_khop_hash_dedup.cu``)."""
     return _dedup_rows(
         sample_weighted_khop(
-            indptr, indices, prob_table, alias_table, frontier, fanout, key
+            indptr, indices, prob_table, alias_table, frontier, fanout, key,
+            u=u, coin=coin,
         )
     )
 
@@ -191,8 +209,8 @@ def build_coarse_cdf(indptr, prob_prefix_table, num_node: int,
 
 
 def sample_weighted_khop_prefix(
-    indptr, indices, prob_prefix_table, frontier, fanout: int, key,
-    max_deg: int | None = None, coarse_cdf=None,
+    indptr, indices, prob_prefix_table, frontier, fanout: int, key=None,
+    max_deg: int | None = None, coarse_cdf=None, *, u=None,
 ) -> jax.Array:
     """Weighted sampling by binary search in per-node prefix-sum tables
     (reference ``cuda_sampling_weighted_khop_prefix.cu``).
@@ -217,7 +235,9 @@ def sample_weighted_khop_prefix(
     node, start, deg, _ = _frontier_meta(indptr, frontier)
     safe_deg = jnp.maximum(deg, 1)
     total = take_1d(prob_prefix_table, start + safe_deg - 1)
-    u = jax.random.uniform(key, (b, fanout)) * total[:, None]
+    if u is None:
+        u = jax.random.uniform(key, (b, fanout))
+    u = u * total[:, None]
 
     if coarse_cdf is None:
         lo = jnp.zeros((b, fanout), jnp.int32)

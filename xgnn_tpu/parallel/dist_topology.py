@@ -181,45 +181,54 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
         * jnp.uint32(0x9E3779B9)
         ^ slot_mix
     )[:, None]
-    keys = jax.vmap(jax.random.wrap_key_data)(mixed)
 
     st = SampleType
-    uniform = {
-        st.KHOP0: sampling.sample_khop0,
-        st.KHOP1: sampling.sample_khop0,
-        st.KHOP2: sampling.sample_khop2,
-        st.KHOP3: sampling.sample_khop3,
-    }
-
-    # one vmapped draw per request row: each request is a 1-frontier sample
-    if sample_type in uniform:
-        fn = uniform[sample_type]
-
-        def one(row, k):
-            return fn(topo.indptr, topo.indices, row[None], fanout, k)[0]
-    elif sample_type in (st.WEIGHTED_KHOP, st.WEIGHTED_KHOP_HASH_DEDUP):
+    weighted_alias = sample_type in (
+        st.WEIGHTED_KHOP, st.WEIGHTED_KHOP_HASH_DEDUP
+    )
+    # per-request uniforms in ONE vmapped threefry pass (elementwise u32
+    # rounds — fuses fully); the sampler then runs BATCHED over the whole
+    # flat request vector.  Round 2 vmapped the entire kernel per request
+    # ((1,)-frontier inner calls) which serialized the gathers and left the
+    # VPU idle — this keeps only the RNG per-request, as required for
+    # chip-independent draws, and the gathers stay wide.
+    n_draw = 2 if weighted_alias else 1
+    draw = jax.vmap(
+        lambda kd: jax.random.uniform(
+            jax.random.wrap_key_data(kd), (n_draw, fanout)
+        )
+    )
+    uu = draw(mixed)  # (P*S, n_draw, K)
+    u = uu[:, 0]
+    if sample_type in (st.KHOP0, st.KHOP1):
+        out = sampling.sample_khop0(
+            topo.indptr, topo.indices, local_rows, fanout, u=u
+        )
+    elif sample_type == st.KHOP2:
+        out = sampling.sample_khop2(
+            topo.indptr, topo.indices, local_rows, fanout, u=u
+        )
+    elif sample_type == st.KHOP3:
+        out = sampling.sample_khop3(
+            topo.indptr, topo.indices, local_rows, fanout, u=u
+        )
+    elif weighted_alias:
         wfn = (
             sampling.sample_weighted_khop
             if sample_type == st.WEIGHTED_KHOP
             else sampling.sample_weighted_khop_hash_dedup
         )
-
-        def one(row, k):
-            return wfn(
-                topo.indptr, topo.indices, topo.prob, topo.alias,
-                row[None], fanout, k,
-            )[0]
+        out = wfn(
+            topo.indptr, topo.indices, topo.prob, topo.alias,
+            local_rows, fanout, u=u, coin=uu[:, 1],
+        )
     elif sample_type == st.WEIGHTED_KHOP_PREFIX:
-
-        def one(row, k):
-            return sampling.sample_weighted_khop_prefix(
-                topo.indptr, topo.indices, topo.prefix, row[None], fanout, k,
-                max_deg=max_deg, coarse_cdf=topo.coarse,
-            )[0]
+        out = sampling.sample_weighted_khop_prefix(
+            topo.indptr, topo.indices, topo.prefix, local_rows, fanout,
+            max_deg=max_deg, coarse_cdf=topo.coarse, u=u,
+        )
     else:
         raise NotImplementedError(sample_type)
-
-    out = jax.vmap(one)(local_rows, keys)  # (P*S, K)
     return out.reshape(num_parts, req_ids.shape[1], fanout)
 
 
