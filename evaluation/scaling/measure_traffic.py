@@ -10,7 +10,7 @@ actual bench graph, owner-counts every layer's request ids on device
 - per-peer load imbalance (max-peer / mean-peer) of the interleaved
   ``id % P`` placement,
 - the minimal overflow-free per-peer segment size vs the shipped
-  ``seg_cap = ceil(cap/P) * 2`` rule,
+  ``seg_cap = ceil(cap/P * headroom)`` rule (config.exchange_headroom),
 - useful vs shipped bytes per step (and therefore how much of the
   projection's traffic term is padding).
 
@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parts", nargs="+", type=int, default=[2, 4, 8, 16])
     ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--headroom", type=float, default=1.25,
+                    help="seg_cap headroom to evaluate shipped bytes at "
+                         "(config.exchange_headroom; round 2 shipped 2.0)")
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
@@ -69,10 +72,13 @@ def main():
     caps = default_capacities(BENCH["batch"], fanouts, ds.num_node)
     max_p = max(args.parts)
 
-    def one_batch(seeds, num_seed, key):
+    def one_batch(graph, seeds, num_seed, key):
         """The khop3 frontier loop, emitting per-layer owner counts
         (mirrors sampler._sample_minibatch — re-run here because the
-        engine path doesn't retain intermediate frontier ids)."""
+        engine path doesn't retain intermediate frontier ids).  ``graph``
+        is an ARGUMENT (closing over it would embed the whole CSR in the
+        serialized computation — the remote compiler rejects >100MB
+        payloads)."""
         frontier = seeds
         num_frontier = num_seed
         per_layer = []  # (count_matrix (len(parts), max_p), n) per layer
@@ -118,7 +124,7 @@ def main():
         seeds = np.full(caps[0], EMPTY_KEY, np.int32)
         seeds[: len(seeds_np)] = seeds_np
         out = fn(
-            jnp.asarray(seeds), jnp.int32(n),
+            graph, jnp.asarray(seeds), jnp.int32(n),
             jax.random.fold_in(jax.random.key(11), i),
         )
         host = [(np.asarray(c), int(nv)) for c, nv in out]
@@ -152,7 +158,7 @@ def main():
             for pi, p in enumerate(args.parts):
                 c = counts[pi][:p].astype(np.int64)
                 mx, mean = int(c.max()), float(n) / p
-                ship_seg = max(-(-cap // p) * 2, 128)
+                ship_seg = max(int(np.ceil(cap / p * args.headroom)), 128)
                 useful = n * (4 + resp) / 1e6
                 shipped = p * ship_seg * (4 + resp) / 1e6
                 f.write(
@@ -166,7 +172,8 @@ def main():
     from model import exchange_bytes  # noqa: E402 (same dir)
 
     topo_mb, feat_mb = (
-        b / 1e6 for b in exchange_bytes(caps, fanouts, fb)
+        b / 1e6
+        for b in exchange_bytes(caps, fanouts, fb, headroom=args.headroom)
     )
     useful_total = sum(
         n * (4 + (fb if i == len(rows_acc) - 1 else 4 * fanouts[i])) / 1e6

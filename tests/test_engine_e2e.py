@@ -373,3 +373,80 @@ def test_bf16_feature_storage_learns(learnable_ds):
         assert np.isfinite(r2["loss"])
         assert r2["loss"] < r0["loss"]
         assert r2["train_acc"] > 0.5, (cache, r2)
+
+
+def test_single_chip_tiered_topology(learnable_ds):
+    """Out-of-core topology on ONE chip (reference single-GPU large-graph
+    mode, evaluation/large_graph --use-dist-graph 0.85): only the hot edge
+    prefix lives on device; cold frontier nodes draw from the host CSR via
+    the batched callback.  Training must learn and every cold node's picks
+    must be its real neighbors."""
+    import dataclasses
+
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=8, model="graphsage", sample_type="khop3",
+        use_dist_graph=True, dist_graph_percentage=0.5,
+        pipeline=False, calibration_batches=1, lr=0.05, dropout=0.0,
+        root_path="/tmp",
+    )
+    engine = Engine(learnable_ds, config).init()
+    assert engine._tier is not None
+    ncn = engine._tier[0]
+    assert 0 < ncn < learnable_ds.num_node
+    assert engine.graph.num_node == ncn  # only the prefix is device-resident
+    accs = [engine.train_epoch(e)["train_acc"] for e in range(8)]
+    assert all(np.isfinite(a) for a in accs)
+    assert max(accs) > 0.6, accs
+
+    # draw correctness: sample one batch, verify every pick (hot AND cold)
+    # is a true neighbor in the FULL graph
+    import jax
+    import jax.numpy as jnp
+
+    from xgnn_tpu.constants import EMPTY_KEY
+
+    seeds = np.full(engine.sampler.capacities[0], EMPTY_KEY, np.int32)
+    take = min(64, len(learnable_ds.train_set))
+    seeds[:take] = learnable_ds.train_set[:take]
+    batch = engine.sampler.sample(jnp.asarray(seeds), take, jax.random.key(5))
+    # the direct-extract layer (global ids + dst_ids) is the OUTERMOST
+    # block after the DGL-order reverse
+    blk = batch.blocks[0]
+    assert blk.dst_ids is not None
+    neigh = np.asarray(blk.neigh)
+    dst = np.asarray(blk.dst_ids)
+    ndst = int(blk.num_dst)
+    indptr, indices = learnable_ds.indptr, learnable_ds.indices
+    checked_cold = 0
+    for i in range(ndst):
+        v = int(dst[i])
+        if v == EMPTY_KEY:
+            continue
+        row = set(indices[indptr[v]:indptr[v + 1]].tolist())
+        picks = [int(x) for x in neigh[i] if x != EMPTY_KEY]
+        assert set(picks) <= row, (v, picks, row)
+        if v >= ncn:
+            checked_cold += 1
+    # the 0.5 edge split leaves plenty of cold train nodes
+    assert checked_cold > 0
+
+
+def test_disagg_tiered_topology(learnable_ds):
+    """arch5 with tiered sampler topology: sampler chips hold only the hot
+    prefix + host cold tier (VERDICT round-2 weak 9)."""
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=2, model="graphsage", sample_type="khop3",
+        num_sample_worker=2, num_train_worker=2, num_worker=4,
+        use_dist_graph=True, dist_graph_percentage=0.5,
+        pipeline=False, calibration_batches=1, lr=0.05, root_path="/tmp",
+    )
+    eng = DisaggregatedEngine(learnable_ds, config).init()
+    for s in eng.svc.samplers:
+        assert s.tier is not None
+        assert s.graph.num_node < learnable_ds.num_node
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])

@@ -99,6 +99,15 @@ class RunConfig:
     # (DCN/multi-host) — the topology-aware-placement analog
     # (PartitionSolver, dist_graph.cu:684-777)
     num_dcn_groups: int = 1
+    # per-peer exchange segment headroom over the even split ceil(cap/P).
+    # Interleaved (id % P) placement balances requests to within 8% at small
+    # counts and 0.3% at bench shapes (evaluation/scaling/
+    # measured_traffic.tsv), so 1.25x covers the imbalance with margin; a
+    # pathological step overflows and is REPLAYED at grown capacity (the
+    # engines' overflow-replay path), so this is a perf knob, not a
+    # correctness one.  Round 2 shipped 2.0x, paying ~2.5x useful bytes on
+    # every all_to_all and double the owner-side sampling work.
+    exchange_headroom: float = 1.25
     num_sample_worker: int = 1  # disaggregated mode only (reference arch5)
     num_train_worker: int = 1
     # adaptive sampler/trainer re-role at epoch boundaries (the

@@ -30,7 +30,7 @@ from .. import profiler as P
 from ..config import CachePolicy, RunConfig, SampleType
 from ..dataset import Dataset
 from ..models import build_model
-from ..sampler import Sampler
+from ..sampler import Sampler, _layer_fanouts, default_capacities
 from ..store import build_ranking, presample_ranking
 from ..store.feature_store import (
     DynamicTieredFeatureSource,
@@ -143,7 +143,37 @@ class Engine:
             SampleType.WEIGHTED_KHOP_PREFIX,
             SampleType.WEIGHTED_KHOP_HASH_DEDUP,
         )
-        if getattr(self.ds, "graph", None) is not None:
+        self._tier = None
+        self._full_num_node = None
+        if cfg.use_dist_graph and cfg.dist_graph_percentage < 1.0:
+            # single-store out-of-core topology (reference single-GPU
+            # large-graph mode, evaluation/large_graph --use-dist-graph
+            # 0.85): hot edge prefix on device, host CSR serves the rest
+            from ..sampler import make_tiered_topology
+
+            indptr = np.asarray(self.ds.indptr)
+            indices = np.asarray(
+                self.ds.graph.indices
+                if getattr(self.ds, "graph", None) is not None
+                else self.ds.indices
+            )
+            gt = lambda n: (
+                np.asarray(getattr(self.ds, n))
+                if getattr(self.ds, n, None) is not None else None
+            )
+            self.graph, self._tier, self._full_num_node = (
+                make_tiered_topology(
+                    indptr, indices, cfg.dist_graph_percentage,
+                    cfg.sample_type,
+                    prob_table=gt("prob_table") if weighted else None,
+                    alias_table=gt("alias_table") if weighted else None,
+                    prob_prefix_table=(
+                        gt("prob_prefix_table") if weighted else None
+                    ),
+                    device=self.device,
+                )
+            )
+        elif getattr(self.ds, "graph", None) is not None:
             self.graph = self.ds.graph  # device-resident dataset
         else:
             self.graph = Graph.from_dataset(
@@ -161,7 +191,19 @@ class Engine:
         self._direct = cfg.gpu_extract and not (
             0.0 < cfg.cache_percentage < 1.0
         )
-        self.sampler = Sampler(self.graph, cfg, direct_extract=self._direct)
+        tier_kw = {}
+        if self._tier is not None:
+            ncn, hs, _ = self._tier
+            caps0 = cfg.frontier_capacities or default_capacities(
+                cfg.batch_size, _layer_fanouts(cfg), self._full_num_node
+            )
+            tier_kw = dict(
+                tier=(ncn, hs, max(int(caps0[-1]) // 4, 128)),
+                num_node=self._full_num_node,
+            )
+        self.sampler = Sampler(
+            self.graph, cfg, direct_extract=self._direct, **tier_kw
+        )
         self._calibrate()
         self.profiler.log_init("sampler_build_time", time.perf_counter() - t0)
 
@@ -215,11 +257,12 @@ class Engine:
             for layer, size in enumerate(reversed(sizes)):
                 observed[layer + 1] = max(observed[layer + 1], size)
         caps = [self.sampler.capacities[0]] + [
-            _align_up(int(s * C.ALLOC_SCALE), self.graph.num_node)
+            _align_up(int(s * C.ALLOC_SCALE), self.sampler.num_node)
             for s in observed[1:]
         ]
         self.sampler = Sampler(
-            self.graph, cfg, caps, direct_extract=self._direct
+            self.graph, cfg, caps, direct_extract=self._direct,
+            tier=self.sampler.tier, num_node=self.sampler.num_node,
         )
         self.profiler.log_init("calibrated_input_cap", caps[-1])
 

@@ -381,7 +381,10 @@ class MultiChipEngine:
 
     def _derive_exchange_caps(self):
         p = self.num_parts
-        self.seg_cap = max(-(-self.capacities[-1] // p) * 2, 128)
+        h = self.config.exchange_headroom
+        self.seg_cap = max(
+            int(np.ceil(self.capacities[-1] / p * h)), 128
+        )
         # miss buffer sized to the expected miss fraction (hot-ranked caches
         # miss *less* than 1-pct by count; 1.25x headroom, grown on overflow)
         pct = self.config.cache_percentage if self.two_phase else 1.0
@@ -514,7 +517,7 @@ class MultiChipEngine:
             )
             return make_presample_step(
                 scfg, self.mesh, scaps,
-                max(-(-scaps[-1] // p) * 2, 128),
+                max(int(np.ceil(scaps[-1] / p * cfg.exchange_headroom)), 128),
                 use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
                 **self._tier_kwargs(),
             )

@@ -53,7 +53,42 @@ class DisaggregatedSampler:
     ):
         self.devices = list(sample_devices)
         self.samplers = []
+        tiered = config.use_dist_graph and config.dist_graph_percentage < 1.0
         for dev in self.devices:
+            if tiered:
+                # arch5 sampler tier: each sampler chip holds the hot edge
+                # prefix; host CSR serves the rest — lifts the one-chip-HBM
+                # topology cap of disaggregated mode (reference arch5 with
+                # --use-dist-graph)
+                import numpy as np
+
+                from ..sampler import (
+                    _layer_fanouts,
+                    default_capacities,
+                    make_tiered_topology,
+                )
+
+                indptr = np.asarray(dataset.indptr)
+                indices = np.asarray(
+                    dataset.graph.indices
+                    if getattr(dataset, "graph", None) is not None
+                    else dataset.indices
+                )
+                graph, tier, full_n = make_tiered_topology(
+                    indptr, indices, config.dist_graph_percentage,
+                    config.sample_type, device=dev,
+                )
+                caps0 = capacities or config.frontier_capacities or (
+                    default_capacities(
+                        config.batch_size, _layer_fanouts(config), full_n
+                    )
+                )
+                tier = (tier[0], tier[1], max(int(caps0[-1]) // 4, 128))
+                self.samplers.append(
+                    Sampler(graph, config, capacities, tier=tier,
+                            num_node=full_n)
+                )
+                continue
             graph = (
                 dataset.graph
                 if getattr(dataset, "graph", None) is not None

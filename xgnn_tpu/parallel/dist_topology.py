@@ -406,18 +406,26 @@ def sample_minibatch_partitioned(
         cold_cap=cold_cap, max_deg=max_deg,
     )
     for layer, fanout in enumerate(fanouts):
+        # per-LAYER exchange segment: the engine's seg_cap is sized to the
+        # LAST (largest) frontier; early layers request at most caps[layer]
+        # ids, so their send matrices and owner-side pick gathers scale
+        # down proportionally (a global seg_cap made layer 0 process
+        # 2*caps[-1]*K picks — a 37 GB gather intermediate at bench shapes)
+        layer_seg = max(
+            int(np.ceil(seg_cap * capacities[layer] / capacities[-1])), 128
+        )
         key, k_layer = jax.random.split(key)
         weights = None
         if sample_type == SampleType.RANDOM_WALK:
             num_rw, rw_len, restart = rw_params
             nbr, weights, of = sample_random_walk_partitioned(
-                topo, frontier, fanout, k_layer, axis_name, seg_cap,
+                topo, frontier, fanout, k_layer, axis_name, layer_seg,
                 num_random_walk=num_rw, random_walk_length=rw_len,
                 restart_prob=restart, **tier,
             )
         else:
             nbr, of = sample_layer_partitioned(
-                topo, frontier, fanout, k_layer, axis_name, seg_cap,
+                topo, frontier, fanout, k_layer, axis_name, layer_seg,
                 sample_type, **tier,
             )
         overflow = overflow | of

@@ -55,6 +55,60 @@ def _layer_fanouts(config: RunConfig) -> tuple[int, ...]:
     return tuple(config.fanout)
 
 
+def make_tiered_topology(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    percentage: float,
+    sample_type: SampleType,
+    prob_table: Optional[np.ndarray] = None,
+    alias_table: Optional[np.ndarray] = None,
+    prob_prefix_table: Optional[np.ndarray] = None,
+    device=None,
+    cold_cap: int = 0,
+):
+    """Build a single-store tiered topology: the hot node-id prefix (sized
+    so its edges consume ``percentage`` of all edges,
+    reference dist_engine.cc:224-235) lives on device; everything else is
+    served from the host CSR by a :class:`HostColdSampler` callback.
+
+    Returns ``(hot_graph, tier, num_node)`` ready for
+    ``Sampler(hot_graph, cfg, tier=tier, num_node=num_node)`` — the
+    single-chip/out-of-core mode (reference ``evaluation/large_graph``
+    ``--use-dist-graph 0.85`` on one GPU) and the arch5 sampler tier.
+    """
+    from types import SimpleNamespace
+
+    from .parallel.ggms import HostColdSampler, compute_num_cache_node
+
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    ncn = compute_num_cache_node(indptr, percentage)
+    e = int(indptr[ncn])
+    sl = lambda t: None if t is None else np.asarray(t)[:e]
+    ns = SimpleNamespace(
+        indptr=indptr[: ncn + 1],
+        indices=indices[:e],
+        prob_table=sl(prob_table),
+        alias_table=sl(alias_table),
+        prob_prefix_table=sl(prob_prefix_table),
+        num_node=ncn,
+        num_edge=e,
+    )
+    weighted = sample_type in (
+        SampleType.WEIGHTED_KHOP,
+        SampleType.WEIGHTED_KHOP_PREFIX,
+        SampleType.WEIGHTED_KHOP_HASH_DEDUP,
+    )
+    hot = Graph.from_dataset(ns, device, weighted=weighted)
+    host_sampler = HostColdSampler(
+        indptr, indices, sample_type,
+        prob_table=prob_table, alias_table=alias_table,
+        prob_prefix_table=prob_prefix_table,
+    )
+    tier = (ncn, host_sampler, cold_cap)
+    return hot, tier, len(indptr) - 1
+
+
 class Sampler:
     """Builds and owns the jitted multi-layer sampling function.
 
@@ -67,12 +121,28 @@ class Sampler:
         config: RunConfig,
         capacities: Optional[Sequence[int]] = None,
         direct_extract: bool = False,
+        tier: Optional[tuple] = None,
+        num_node: Optional[int] = None,
     ):
+        """``tier``: optional ``(num_cache_node, host_sampler, cold_cap)`` —
+        the graph holds only the hot node-id prefix on device and frontier
+        nodes beyond it draw through the host callback (the reference's
+        single-GPU out-of-core mode, ``evaluation/large_graph/run.sh``
+        ``--use-dist-graph 0.85``, and the arch5 sampler tier).
+        ``num_node``: FULL node count for capacity clamping when the graph
+        on device is a truncated hot prefix."""
         self.graph = graph
         self.config = config
         self.fanouts = _layer_fanouts(config)
         self.direct_extract = direct_extract
-        num_node = graph.num_node
+        self.tier = tier
+        self.num_node = num_node or graph.num_node
+        if tier is not None and config.sample_type == SampleType.RANDOM_WALK:
+            raise NotImplementedError(
+                "tiered topology with random-walk sampling: use the "
+                "partitioned multi-chip path (sample_random_walk_partitioned)"
+            )
+        num_node = self.num_node
         if capacities is None:
             capacities = config.frontier_capacities
         if capacities is None:
@@ -93,6 +163,7 @@ class Sampler:
                     config.random_walk_restart_prob,
                 ),
                 direct_extract=direct_extract,
+                tier=tier,
             )
         )
 
@@ -106,12 +177,16 @@ class Sampler:
     def grow(self, factor: float = 2.0) -> "Sampler":
         """Return a sampler with scaled capacities (overflow response)."""
         caps = [self.capacities[0]] + [
-            _align(int(c * factor), self.graph.num_node)
+            _align(int(c * factor), self.num_node)
             for c in self.capacities[1:]
         ]
+        tier = self.tier
+        if tier is not None:
+            tier = (tier[0], tier[1], int(tier[2] * factor))
         return Sampler(
             self.graph, self.config, caps,
             direct_extract=self.direct_extract,
+            tier=tier, num_node=self.num_node,
         )
 
 
@@ -164,6 +239,7 @@ def _sample_minibatch(
     capacities: tuple,
     rw_params: tuple,
     direct_extract: bool = False,
+    tier: Optional[tuple] = None,
 ) -> SampledBatch:
     """The jitted sampling pipeline (innermost layer first, like the
     reference's ``for layer = L-1..0`` loop, dist_loops.cc:120-355).
@@ -184,9 +260,31 @@ def _sample_minibatch(
     for layer, fanout in enumerate(fanouts):
         last = layer == len(fanouts) - 1
         key, k_layer = jax.random.split(key)
-        nbr, weights = _sample_layer(
-            graph, frontier, fanout, k_layer, sample_type, rw_params
-        )
+        if tier is not None:
+            # tiered topology: the device graph holds only the hot node-id
+            # prefix; frontier nodes beyond it draw from the host CSR
+            # (the reference's host whole-graph partition slot,
+            # dist_graph.h:141-151, single-store edition)
+            from .parallel.ggms import cold_sample_callback
+
+            num_cache_node, host_sampler, cold_cap = tier
+            hot = jnp.where(
+                (frontier != EMPTY) & (frontier < num_cache_node),
+                frontier, EMPTY,
+            )
+            nbr, weights = _sample_layer(
+                graph, hot, fanout, k_layer, sample_type, rw_params
+            )
+            cold_neigh, cold_mask, cold_of = cold_sample_callback(
+                host_sampler, frontier, jax.random.key_data(k_layer),
+                fanout, num_cache_node, cold_cap,
+            )
+            nbr = jnp.where(cold_mask[:, None], cold_neigh, nbr)
+            overflow = overflow | cold_of
+        else:
+            nbr, weights = _sample_layer(
+                graph, frontier, fanout, k_layer, sample_type, rw_params
+            )
         if direct_extract and last:
             blocks.append(
                 Block(
