@@ -68,6 +68,12 @@ def parse_args():
                         "the host-RAM cold tier (reference "
                         "dist_graph_percentage)")
     p.add_argument("--part-cache", action="store_true", default=False)
+    p.add_argument("--auto-placement", action="store_true", default=False,
+                   help="solve dist_graph_percentage/cache_percentage from "
+                        "the per-chip HBM budget + degree skew "
+                        "(PartitionSolver analog, parallel/placement.py)")
+    p.add_argument("--hbm-budget-gb", type=float, default=None,
+                   help="per-chip HBM override for --auto-placement")
     p.add_argument("--pipeline", action="store_true", default=False)
     p.add_argument("--no-pipeline", dest="pipeline", action="store_false")
     p.add_argument("--device-loop", action="store_true", default=False,
@@ -168,6 +174,8 @@ def main():
         use_dist_graph=args.use_dist_graph,
         dist_graph_percentage=args.dist_graph_percentage,
         part_cache=args.part_cache,
+        auto_placement=args.auto_placement,
+        hbm_budget_gb=args.hbm_budget_gb,
         cache_policy=args.cache_policy,
         cache_percentage=args.cache_percentage,
         presample_epoch=args.presample_epoch,

@@ -884,3 +884,83 @@ def test_multi_chip_dynamic_cache_refresh():
     # exact-count invariant inside evaluate() already asserts consistency
     acc = eng.evaluate("valid", max_batches=2)
     assert np.isfinite(acc)
+
+
+def test_placement_solver_budget_and_monotonicity(small_ds):
+    """PartitionSolver analog (parallel/placement.py): plans respect the
+    HBM budget, more HBM buys more coverage, skew concentrates spend."""
+    import numpy as np
+
+    from xgnn_tpu.parallel.placement import solve_placement
+
+    deg = np.diff(np.asarray(small_ds.indptr)).astype(np.int64)
+    kw = dict(
+        num_node=small_ds.num_node, num_edge=small_ds.num_edge,
+        feat_dim=small_ds.feat.shape[1], degrees=deg, group_size=1,
+    )
+    feat_total = small_ds.num_node * small_ds.feat.shape[1] * 4
+    topo_total = small_ds.num_edge * 4 + (small_ds.num_node + 1) * 4
+
+    tight = solve_placement(hbm_bytes=(feat_total + topo_total) // 4, **kw)
+    roomy = solve_placement(hbm_bytes=4 * (feat_total + topo_total), **kw)
+    assert tight.topology_bytes + tight.cache_bytes <= (
+        (feat_total + topo_total) // 4
+    )
+    # budget growth never shrinks coverage
+    assert roomy.dist_graph_percentage >= tight.dist_graph_percentage
+    assert roomy.cache_percentage >= tight.cache_percentage
+    # everything fits at 4x: full residency both stores
+    assert roomy.dist_graph_percentage == 1.0
+    assert roomy.cache_percentage == 1.0
+    assert not roomy.use_dist_graph  # group_size 1 + full residency
+    assert tight.use_dist_graph  # tiered topology => host tier needed
+    # expected hits reflect the degree skew: coverage fraction <= hit rate
+    if 0 < tight.dist_graph_percentage < 1:
+        assert tight.expected_topo_hit >= tight.dist_graph_percentage
+    # group sharding: per-chip spend shrinks, coverage grows
+    g4 = solve_placement(
+        hbm_bytes=(feat_total + topo_total) // 4,
+        **{**kw, "group_size": 4},
+    )
+    assert g4.dist_graph_percentage >= tight.dist_graph_percentage
+    assert g4.cache_percentage >= tight.cache_percentage
+
+
+def test_auto_placement_engine(learn_ds):
+    """RunConfig.auto_placement end-to-end: the engine solves the split,
+    honors an explicit user value, and trains."""
+    import numpy as np
+
+    from xgnn_tpu.config import RunConfig
+    from xgnn_tpu.engine import Engine
+
+    feat_total = learn_ds.num_node * learn_ds.feat.shape[1] * 4
+    topo_total = learn_ds.num_edge * 4
+    budget_gb = 2.2 * (feat_total + topo_total) / (1 << 30) / 0.65
+
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=2, model="graphsage", sample_type="khop3",
+        auto_placement=True, hbm_budget_gb=budget_gb,
+        pipeline=False, calibration_batches=1, lr=0.05, root_path="/tmp",
+    )
+    eng = Engine(learn_ds, config).init()
+    # roomy budget => everything resident, no tier
+    assert eng.config.dist_graph_percentage == 1.0
+    assert eng._tier is None
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
+
+    # tight budget => tiered topology + partial cache, still trains
+    config2 = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=2, model="graphsage", sample_type="khop3",
+        auto_placement=True,
+        hbm_budget_gb=0.6 * (feat_total + topo_total) / (1 << 30) / 0.65,
+        pipeline=False, calibration_batches=1, lr=0.05, root_path="/tmp",
+    )
+    eng2 = Engine(learn_ds, config2).init()
+    assert eng2.config.dist_graph_percentage < 1.0
+    assert eng2._tier is not None
+    r2 = eng2.train_epoch(0)
+    assert np.isfinite(r2["loss"])

@@ -133,3 +133,45 @@ def test_direct_extract_equivalent_logits(small_ds):
     np.testing.assert_allclose(
         np.asarray(out_std)[:n], np.asarray(out_dir)[:n], rtol=1e-5, atol=1e-5
     )
+
+
+def test_static_exact_ranking_oracle(small_ds):
+    """static_exact_ranking (edge-parallel bitmask closure) == a NumPy BFS
+    closure oracle: per batch, the node set reachable within L hops of the
+    seeds (reference DoGPUSampleAllNeighbour semantics — every neighbor,
+    deduped cumulatively), counted once per batch."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu.config import RunConfig
+    from xgnn_tpu.engine.shuffler import Shuffler
+    from xgnn_tpu.store.presample import static_exact_ranking
+    from xgnn_tpu.types import Graph
+
+    cfg = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=8,
+        model="graphsage", sample_type="khop3", presample_epoch=2,
+        root_path="/tmp",
+    )
+    graph = Graph.from_dataset(small_ds)
+    got = static_exact_ranking(
+        graph, small_ds.train_set, cfg, small_ds.num_node
+    )
+
+    indptr, indices = small_ds.indptr, small_ds.indices
+    want = np.zeros(small_ds.num_node, np.int64)
+    sh = Shuffler(small_ds.train_set, cfg.batch_size, seed=cfg.seed,
+                  num_worker=1)
+    for epoch in range(cfg.presample_epoch):
+        for seeds, num_valid in sh.epoch_batches(epoch):
+            reach = set(int(s) for s in seeds[:num_valid])
+            for _ in range(cfg.num_fanout):
+                nxt = set(reach)
+                for v in reach:
+                    nxt.update(
+                        indices[indptr[v]:indptr[v + 1]].tolist()
+                    )
+                reach = nxt
+            for v in reach:
+                want[v] += 1
+    np.testing.assert_array_equal(np.asarray(got), want)

@@ -162,3 +162,21 @@ def test_pick_multiplicity_all_empty():
     ids = jnp.full((4, 3), EMPTY_KEY, jnp.int32)
     got = np.asarray(jax.jit(pick_multiplicity)(ids))
     np.testing.assert_array_equal(got, np.zeros((4, 3), np.int32))
+
+
+def test_compact_mask_positions_matches_argsort():
+    """compact_mask_positions == stable argsort compaction, padded with n."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu.ops.unique import compact_mask_positions
+
+    rng = np.random.default_rng(0)
+    for n, cap in ((1, 1), (7, 4), (256, 256), (1000, 300), (1000, 1000)):
+        mask = rng.random(n) < 0.3
+        want = np.argsort(~mask, kind="stable")[:cap]
+        k = int(mask.sum())
+        got = np.asarray(compact_mask_positions(jnp.asarray(mask), cap))
+        lim = min(k, cap)
+        np.testing.assert_array_equal(got[:lim], want[:lim])
+        assert (got[lim:] == n).all()

@@ -174,6 +174,13 @@ class RunConfig:
     # DeviceDistGraph slot num_partition, dist_graph.h:141-151)
     dist_graph_percentage: float = 1.0
     part_cache: bool = False  # shard the feature cache across the chip mesh
+    # solve dist_graph_percentage / cache_percentage / use_dist_graph from
+    # the per-chip HBM budget and access skew at init (the PartitionSolver
+    # analog, parallel/placement.py); explicit user values win
+    auto_placement: bool = False
+    # per-chip HBM override for auto_placement (GiB); default asks the
+    # platform (jax memory_stats), required on CPU meshes which report none
+    hbm_budget_gb: Optional[float] = None
 
     # --- random walk (PinSAGE, reference run_config.h:60-66) ---------------
     random_walk_length: int = 3

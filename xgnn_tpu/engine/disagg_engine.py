@@ -99,15 +99,30 @@ class DisaggregatedEngine:
                 # presamples, dist_engine.cc:453-469)
                 sampler = self.svc.samplers[0]
                 if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
-                    from ..sampler import Sampler
-                    from ..store.presample import static_presample_config
+                    if sampler.tier is None:
+                        # exact all-neighbor closure (full topology on the
+                        # presampling sampler chip)
+                        from ..store.presample import static_exact_ranking
 
-                    sampler = Sampler(
-                        sampler.graph, static_presample_config(cfg)
+                        access_freq = static_exact_ranking(
+                            sampler.graph, self.ds.train_set, cfg,
+                            self.ds.num_node,
+                        )
+                    else:
+                        from ..sampler import Sampler
+                        from ..store.presample import static_presample_config
+
+                        approx = Sampler(
+                            sampler.graph, static_presample_config(cfg),
+                            tier=sampler.tier, num_node=sampler.num_node,
+                        )
+                        access_freq = presample_ranking(
+                            approx, self.ds.train_set, cfg, self.ds.num_node,
+                        )
+                else:
+                    access_freq = presample_ranking(
+                        sampler, self.ds.train_set, cfg, self.ds.num_node,
                     )
-                access_freq = presample_ranking(
-                    sampler, self.ds.train_set, cfg, self.ds.num_node,
-                )
             ranking = build_ranking(self.ds, cfg, access_freq)
         self._ranking = ranking
         self.feature_sources = []

@@ -137,6 +137,23 @@ class Engine:
     # ------------------------------------------------------------------ init
     def init(self):
         cfg = self.config
+        if cfg.auto_placement:
+            # PartitionSolver analog: solve the store split from the HBM
+            # budget + degree skew (parallel/placement.py); group_size=1 —
+            # this engine owns one chip's store
+            from ..parallel.placement import resolve_auto_placement
+
+            cfg, plan = resolve_auto_placement(
+                cfg, self.ds, group_size=1, device=self.device
+            )
+            self.config = cfg
+            self.placement_plan = plan
+            self.profiler.log_init(
+                "auto_dist_graph_percentage", cfg.dist_graph_percentage
+            )
+            self.profiler.log_init(
+                "auto_cache_percentage", cfg.cache_percentage
+            )
         t0 = time.perf_counter()
         weighted = cfg.sample_type in (
             SampleType.WEIGHTED_KHOP,
@@ -287,13 +304,31 @@ class Engine:
         ):
             t0 = time.perf_counter()
             sampler = self.sampler
-            if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
-                from ..store.presample import static_presample_config
+            if (
+                cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC
+                and self._tier is None
+            ):
+                # EXACT all-neighbor expansion (edge-parallel bitmask
+                # closure) — needs the full device-resident topology
+                from ..store.presample import static_exact_ranking
 
-                sampler = Sampler(self.graph, static_presample_config(cfg))
-            access_freq = presample_ranking(
-                sampler, self.ds.train_set, cfg, self.graph.num_node
-            )
+                access_freq = static_exact_ranking(
+                    self.graph, self.ds.train_set, cfg, self.graph.num_node
+                )
+            else:
+                if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
+                    # tiered topology: wide-khop approximation (exact for
+                    # deg <= presample_static_fanout)
+                    from ..store.presample import static_presample_config
+
+                    sampler = Sampler(
+                        self.graph, static_presample_config(cfg),
+                        tier=self.sampler.tier,
+                        num_node=self.sampler.num_node,
+                    )
+                access_freq = presample_ranking(
+                    sampler, self.ds.train_set, cfg, self.sampler.num_node
+                )
             self.profiler.log_init("presample_time", time.perf_counter() - t0)
         ranking = build_ranking(self.ds, cfg, access_freq)
         cls = (

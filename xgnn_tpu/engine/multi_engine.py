@@ -128,6 +128,16 @@ class MultiChipEngine:
 
     def __init__(self, dataset, config: RunConfig, devices=None):
         self.ds = dataset
+        if config.auto_placement:
+            # PartitionSolver analog (parallel/placement.py): stores shard
+            # over the ICI group; DCN groups replicate
+            from ..parallel.placement import resolve_auto_placement
+
+            config, self.placement_plan = resolve_auto_placement(
+                config, dataset,
+                group_size=config.num_worker // config.num_dcn_groups,
+                device=(devices or jax.devices())[0],
+            )
         self.config = config
         self.devices = devices or jax.devices()[: config.num_worker]
         assert len(self.devices) == config.num_worker, (
@@ -502,7 +512,13 @@ class MultiChipEngine:
 
         def freq_fn(capacities, seg_cap):
             """Frequency-collection program: presample_static swaps in the
-            all-neighbor expansion (reference DoGPUSampleAllNeighbour)."""
+            all-neighbor expansion (reference DoGPUSampleAllNeighbour).
+
+            On the partitioned store this is the wide-khop APPROXIMATION
+            (exact for deg <= presample_static_fanout); the exact
+            edge-parallel closure (store.presample.static_exact_ranking)
+            needs the full topology on one chip and is used by the
+            single-store engines."""
             if cfg.cache_policy != CachePolicy.PRE_SAMPLE_STATIC:
                 return make_presample_step(
                     cfg, self.mesh, capacities, seg_cap,

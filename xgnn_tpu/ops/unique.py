@@ -24,6 +24,25 @@ from .. import constants as C
 EMPTY = C.EMPTY_KEY
 
 
+def compact_mask_positions(mask: jax.Array, out_cap: int) -> jax.Array:
+    """Positions of True elements compacted to the front in original order,
+    padded with ``n`` (the mask length) past the True count.
+
+    The stable-compaction primitive of the miss/cold splits
+    (``GetMissCacheIndex``, cuda_cache_manager_device.cu:41-170).  A stable
+    ``argsort(~mask)`` sorts (key, iota) pairs — 8 bytes/element; here the
+    position IS the payload: sort ``iota + n*(1-mask)`` (one unpayloaded
+    int32 sort, half the bytes) and the True positions come out < n, in
+    order, as a prefix.
+    """
+    n = mask.shape[0]
+    key = jnp.arange(n, dtype=jnp.int32) + jnp.where(mask, 0, n).astype(
+        jnp.int32
+    )
+    pos = jax.lax.sort(key)[:out_cap]
+    return jnp.where(pos < n, pos, n)
+
+
 def unique_ordered(ids: jax.Array, out_cap: int):
     """Deduplicate ``ids`` preserving first-occurrence order.
 

@@ -662,7 +662,7 @@ def make_presample_step(
         ids = batch.input_nodes
         valid = jnp.arange(ids.shape[0]) < batch.num_input
         masked = jnp.where(valid, ids, EMPTY)
-        send, _, _, _, _ = plan_exchange(masked, num_parts, count_seg_cap)
+        send, _, _, _ = plan_exchange(masked, num_parts, count_seg_cap)
         req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
         req = req.reshape(-1)
         ok = req != EMPTY

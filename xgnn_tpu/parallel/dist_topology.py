@@ -263,7 +263,7 @@ def sample_layer_partitioned(
         )
     else:
         hot_frontier = frontier
-    send, perm, owner_sorted, rank, overflow = plan_exchange(
+    send, owner, rank, overflow = plan_exchange(
         hot_frontier, num_parts, seg_cap
     )
     req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
@@ -271,13 +271,12 @@ def sample_layer_partitioned(
     drawn = _owner_sample(topo, req, fanout, key, sample_type, max_deg)
     resp = jax.lax.all_to_all(drawn, axis_name, 0, 0, tiled=True)
     resp = resp.reshape(num_parts, seg_cap, fanout)
-    safe_owner = jnp.minimum(owner_sorted, num_parts - 1)
+    safe_owner = jnp.minimum(owner, num_parts - 1)
     safe_rank = jnp.clip(rank, 0, seg_cap - 1)
-    picked = resp[safe_owner, safe_rank]  # (cap, K), sorted order
-    picked = jnp.where(
-        (owner_sorted < num_parts)[:, None], picked, EMPTY
+    picked = resp[safe_owner, safe_rank]  # (cap, K), request order
+    neigh = jnp.where(
+        ((owner < num_parts) & (rank < seg_cap))[:, None], picked, EMPTY
     )
-    neigh = jnp.full_like(picked, EMPTY).at[perm].set(picked)
     if has_cold:
         from .ggms import cold_sample_callback
 

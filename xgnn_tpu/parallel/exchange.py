@@ -49,28 +49,31 @@ def shard_interleaved(arr, num_parts: int):
 def plan_exchange(ids: jax.Array, num_parts: int, seg_cap: int):
     """Group requested ids by owner into a ``(P, seg_cap)`` send buffer.
 
-    Returns ``(send, perm, owner_sorted, rank, overflow)`` where ``send`` is
-    the per-peer request matrix and (perm, owner_sorted, rank) locate each
-    request for the return scatter.
+    Sort-free: the owner key space is tiny (``P`` values), so each request's
+    rank within its owner segment is a prefix count — ``P`` unrolled cumsums
+    over the request vector — instead of an argsort of the whole frontier.
+    Because ``(owner, rank)`` address every request's exchanged slot in
+    REQUEST order, responses come back with a plain gather; no
+    inverse-permutation scatter exists anywhere on the path (the round-2
+    design paid an argsort here plus an F-wide ``.at[perm].set`` row scatter
+    per feature exchange — ~1.3 GB/step at bench shapes).
+
+    Returns ``(send, owner, rank, overflow)``: the per-peer request matrix,
+    and per-request owner/rank (``owner == num_parts`` marks EMPTY slots).
     """
-    cap = ids.shape[0]
     valid = ids != EMPTY
-    owner = jnp.where(valid, ids % num_parts, num_parts)
-    perm = jnp.argsort(owner, stable=True)
-    owner_sorted = owner[perm]
-    ids_sorted = ids[perm]
-    counts = jnp.zeros(num_parts + 1, jnp.int32).at[owner].add(1)
-    start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
-    rank = jnp.arange(cap, dtype=jnp.int32) - start[owner_sorted]
-    overflow = jnp.any((rank >= seg_cap) & (owner_sorted < num_parts))
+    owner = jnp.where(valid, ids % num_parts, num_parts).astype(jnp.int32)
+    rank = jnp.zeros(ids.shape[0], jnp.int32)
+    for k in range(num_parts):
+        mask = owner == k
+        rank = rank + jnp.where(mask, jnp.cumsum(mask) - 1, 0)
+    overflow = jnp.any((rank >= seg_cap) & valid)
     send = (
         jnp.full((num_parts, seg_cap), EMPTY, ids.dtype)
-        .at[jnp.where(owner_sorted < num_parts, owner_sorted, num_parts), rank]
-        .set(ids_sorted, mode="drop")
+        .at[owner, rank]
+        .set(ids, mode="drop")
     )
-    return send, perm, owner_sorted, rank, overflow
+    return send, owner, rank, overflow
 
 
 def partitioned_gather(
@@ -97,9 +100,7 @@ def partitioned_gather(
       a bool overflow flag (exchange must be retried with larger ``seg_cap``).
     """
     num_parts = jax.lax.axis_size(axis_name)
-    send, perm, owner_sorted, rank, overflow = plan_exchange(
-        ids, num_parts, seg_cap
-    )
+    send, owner, rank, overflow = plan_exchange(ids, num_parts, seg_cap)
     # phase 1: ship request ids to their owners
     req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
     req = req.reshape(num_parts, seg_cap)
@@ -115,10 +116,10 @@ def partitioned_gather(
     # phase 2: ship rows back
     resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)
     resp = resp.reshape(num_parts, seg_cap, rows.shape[-1])
-    # un-permute into request order
-    safe_owner = jnp.minimum(owner_sorted, num_parts - 1)
+    # responses are addressed by (owner, rank) in request order already
+    safe_owner = jnp.minimum(owner, num_parts - 1)
     safe_rank = jnp.clip(rank, 0, seg_cap - 1)
-    picked = resp[safe_owner, safe_rank]
-    picked = picked * (owner_sorted < num_parts)[:, None].astype(picked.dtype)
-    out = jnp.zeros_like(picked).at[perm].set(picked)
+    out = resp[safe_owner, safe_rank]
+    ok = (owner < num_parts) & (rank < seg_cap)
+    out = out * ok[:, None].astype(out.dtype)
     return out, overflow

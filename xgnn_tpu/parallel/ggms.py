@@ -115,8 +115,9 @@ def cache_split(
     miss = valid & ~hit
     num_miss = jnp.sum(miss).astype(jnp.int32)
     num_hit = jnp.sum(hit).astype(jnp.int32)
-    perm = jnp.argsort(~miss, stable=True)  # misses first, original order
-    miss_pos = perm[:miss_cap].astype(jnp.int32)
+    from ..ops.unique import compact_mask_positions
+
+    miss_pos = compact_mask_positions(miss, miss_cap)
     in_range = jnp.arange(miss_cap) < num_miss
     miss_ids = jnp.where(in_range, ids[miss_pos], EMPTY)
     overflow = of | (num_miss > miss_cap)
@@ -351,8 +352,9 @@ def cold_sample_callback(
     valid = frontier != EMPTY
     cold = valid & (frontier >= num_cache_node)
     num_cold = jnp.sum(cold).astype(jnp.int32)
-    perm = jnp.argsort(~cold, stable=True)
-    cold_pos = perm[:cold_cap].astype(jnp.int32)
+    from ..ops.unique import compact_mask_positions
+
+    cold_pos = compact_mask_positions(cold, cold_cap)
     in_range = jnp.arange(cold_cap) < num_cold
     cold_ids = jnp.where(in_range, frontier[cold_pos], EMPTY)
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..ops.unique import compact_mask_positions
 
 EMPTY = C.EMPTY_KEY
 
@@ -61,9 +62,9 @@ def _split_kernel(posmap, cache_feat, input_nodes, num_input):
     miss = valid & ~hit
     num_miss = jnp.sum(miss).astype(jnp.int32)
     num_hit = jnp.sum(hit).astype(jnp.int32)
-    # compact miss positions to the front (stable: preserves order)
-    perm = jnp.argsort(~miss, stable=True)  # misses (True→~False) first
-    miss_pos = perm  # positions into input_nodes; first num_miss are misses
+    # compact miss positions to the front (stable: preserves order); first
+    # num_miss entries are miss positions, the tail pads with n
+    miss_pos = compact_mask_positions(miss, n)
     # pad with EMPTY (not 0) so the host gather's ids<0 fast path skips the
     # (bucket - num_miss) slack rows instead of fetching node 0 repeatedly
     miss_ids = jnp.where(

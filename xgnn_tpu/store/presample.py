@@ -31,6 +31,72 @@ def static_presample_config(cfg):
     )
 
 
+def static_exact_ranking(graph, train_set, config, num_node: int) -> np.ndarray:
+    """EXACT all-neighbor static presample (reference
+    ``DoGPUSampleAllNeighbour``, ``cuda/cuda_loops.cc:526-600``): per batch,
+    the node set reachable within L hops of the seeds — every neighbor, not
+    a sampled subset — counted once per batch.
+
+    The reference grows an OrderedHashTable layer by layer; the TPU
+    re-expression is an edge-parallel bitmask closure: ``mask`` marks the
+    running unique set, one layer = gather ``mask`` along each edge's source
+    row id + scatter-max into the destinations.  No hashtable, no dynamic
+    shapes; work per layer is one pass over the edge array.
+
+    Requires the FULL topology device-resident (`graph` untruncated); the
+    tiered/out-of-core engines fall back to the wide-khop approximation
+    (``static_presample_config``).
+    """
+    from functools import partial
+
+    from ..engine.shuffler import Shuffler  # deferred: circular import
+
+    num_edge = graph.num_edge
+    indices = graph.indices
+    # per-edge source row id: cumsum over row-start markers (empty rows
+    # stack multiple markers at one position; .add then cumsum handles it)
+    boundaries = graph.indptr[1:num_node]
+    marks = (
+        jnp.zeros(indices.shape[0], jnp.int32)
+        .at[boundaries]
+        .add(1, mode="drop")
+    )
+    rowid = jnp.cumsum(marks)
+    evalid = jnp.arange(indices.shape[0]) < num_edge
+
+    # big edge arrays are ARGUMENTS, not closures: a closed-over device
+    # array is embedded in the compile payload (oversized remote compiles)
+    @partial(jax.jit, static_argnames=("num_layer",), donate_argnums=(0,))
+    def expand(counts, seeds, num_valid, indices, rowid, evalid, *, num_layer):
+        bvalid = jnp.arange(seeds.shape[0]) < num_valid
+        mask = (
+            jnp.zeros(num_node, jnp.int8)
+            .at[jnp.where(bvalid, seeds, num_node)]
+            .max(bvalid.astype(jnp.int8), mode="drop")
+        )
+        for _ in range(num_layer):
+            hit = mask[rowid] * evalid.astype(jnp.int8)
+            add = (
+                jnp.zeros(num_node, jnp.int8)
+                .at[indices]
+                .max(hit, mode="drop")
+            )
+            mask = jnp.maximum(mask, add)
+        return counts + mask.astype(jnp.int32)
+
+    counts = jnp.zeros(num_node, jnp.int32)
+    shuffler = Shuffler(
+        train_set, config.batch_size, seed=config.seed, num_worker=1
+    )
+    for epoch in range(config.presample_epoch):
+        for seeds, num_valid in shuffler.epoch_batches(epoch):
+            counts = expand(
+                counts, jnp.asarray(seeds), num_valid, indices, rowid,
+                evalid, num_layer=config.num_fanout,
+            )
+    return np.asarray(counts)
+
+
 @jax.jit
 def _accumulate(freq, input_nodes, num_input):
     n = input_nodes.shape[0]
