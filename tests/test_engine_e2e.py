@@ -450,3 +450,23 @@ def test_disagg_tiered_topology(learnable_ds):
         assert s.graph.num_node < learnable_ds.num_node
     r = eng.train_epoch(0)
     assert np.isfinite(r["loss"])
+
+
+def test_single_chip_tiered_pinsage(learnable_ds):
+    """Out-of-core PinSAGE on one chip: walkers standing on cold nodes step
+    through the host CSR callback (tier threaded through every walk step)."""
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=6, model="pinsage", sample_type="random_walk",
+        num_random_walk=4, random_walk_length=3,
+        random_walk_restart_prob=0.5, num_neighbor=4,
+        use_dist_graph=True, dist_graph_percentage=0.5,
+        pipeline=False, calibration_batches=1, lr=0.05, dropout=0.0,
+        root_path="/tmp",
+    )
+    engine = Engine(learnable_ds, config).init()
+    assert engine._tier is not None
+    assert engine.graph.num_node < learnable_ds.num_node
+    accs = [engine.train_epoch(e)["train_acc"] for e in range(6)]
+    assert all(np.isfinite(a) for a in accs)
+    assert max(accs) > 0.5, accs

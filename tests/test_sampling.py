@@ -145,7 +145,7 @@ def test_weighted_khop_follows_weights(small_ds):
 def test_random_walk_topk(g):
     indptr, indices, ds = g
     frontier = jnp.asarray(np.arange(64, dtype=np.int32))
-    neigh, weights = sample_random_walk(
+    neigh, weights, _ = sample_random_walk(
         indptr, indices, frontier, 5, jax.random.key(0),
         num_random_walk=8, random_walk_length=3, restart_prob=0.5,
     )

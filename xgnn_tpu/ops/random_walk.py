@@ -45,18 +45,27 @@ def sample_random_walk(
     num_random_walk: int,
     random_walk_length: int,
     restart_prob: float,
+    tier=None,
 ):
     """Run restart random walks and keep each seed's top-``fanout`` most
     frequently visited distinct nodes.
 
-    Returns ``(neigh_ids, counts)``: ``(B, fanout)`` global neighbor ids
-    (``EMPTY_KEY`` padded) and their float32 visit counts (edge weights).
+    With ``tier = (num_cache_node, host_sampler, cold_cap)`` the device
+    CSR holds only the hot node-id prefix and walkers standing on cold
+    nodes take their step through the host callback (the out-of-core
+    single-store mode; each step is a fanout-1 uniform draw, the same
+    batched-exchange shape as ``_walk_step_partitioned``).
+
+    Returns ``(neigh_ids, counts, overflow)``: ``(B, fanout)`` global
+    neighbor ids (``EMPTY_KEY`` padded), their float32 visit counts (edge
+    weights), and the cold-buffer overflow flag (always False untiered).
     """
     b = frontier.shape[0]
     w, l = num_random_walk, random_walk_length
     seed2d = jnp.broadcast_to(frontier[:, None], (b, w))
     cur = seed2d
     visits = []
+    overflow = jnp.zeros((), jnp.bool_)
     for step in range(l):
         key, k_step, k_restart = jax.random.split(key, 3)
         if step > 0:
@@ -66,7 +75,24 @@ def sample_random_walk(
             # replacing restarted draws, at HALF the indptr/indices gathers
             restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
             cur = jnp.where(restart, seed2d, cur)
-        nxt = _uniform_step(indptr, indices, cur, k_step)
+        if tier is None:
+            nxt = _uniform_step(indptr, indices, cur, k_step)
+        else:
+            from ..parallel.ggms import cold_sample_callback
+
+            num_cache_node, host_sampler, cold_cap = tier
+            flat = cur.reshape(-1)
+            hot = jnp.where(
+                (flat != EMPTY) & (flat < num_cache_node), flat, EMPTY
+            )
+            nxt_hot = _uniform_step(indptr, indices, hot, k_step)
+            cold_neigh, cold_mask, of = cold_sample_callback(
+                host_sampler, flat, jax.random.key_data(k_step), 1,
+                num_cache_node, cold_cap,
+            )
+            nxt = jnp.where(cold_mask, cold_neigh[:, 0], nxt_hot)
+            nxt = nxt.reshape(cur.shape)
+            overflow = overflow | of
         visits.append(nxt)
         cur = jnp.where(nxt == EMPTY, seed2d, nxt)  # stuck walks restart
 
@@ -86,4 +112,4 @@ def sample_random_walk(
     neigh = jnp.take_along_axis(v, top_idx, axis=1)
     neigh = jnp.where(top_score > 0, neigh, EMPTY)
     weights = jnp.where(top_score > 0, top_score, 0).astype(jnp.float32)
-    return neigh, weights
+    return neigh, weights, overflow

@@ -100,8 +100,13 @@ def make_tiered_topology(
         SampleType.WEIGHTED_KHOP_HASH_DEDUP,
     )
     hot = Graph.from_dataset(ns, device, weighted=weighted)
+    # walk steps are fanout-1 uniform-with-replacement draws (khop2 shape)
+    host_st = (
+        SampleType.KHOP2 if sample_type == SampleType.RANDOM_WALK
+        else sample_type
+    )
     host_sampler = HostColdSampler(
-        indptr, indices, sample_type,
+        indptr, indices, host_st,
         prob_table=prob_table, alias_table=alias_table,
         prob_prefix_table=prob_prefix_table,
     )
@@ -137,11 +142,6 @@ class Sampler:
         self.direct_extract = direct_extract
         self.tier = tier
         self.num_node = num_node or graph.num_node
-        if tier is not None and config.sample_type == SampleType.RANDOM_WALK:
-            raise NotImplementedError(
-                "tiered topology with random-walk sampling: use the "
-                "partitioned multi-chip path (sample_random_walk_partitioned)"
-            )
         num_node = self.num_node
         if capacities is None:
             capacities = config.frontier_capacities
@@ -217,7 +217,7 @@ def _sample_layer(graph: Graph, frontier, fanout, key, sample_type, rw_params):
         )
     elif sample_type == st.RANDOM_WALK:
         num_rw, rw_len, restart = rw_params
-        nbr, weights = sample_random_walk(
+        nbr, weights, _ = sample_random_walk(
             graph.indptr, graph.indices, frontier, fanout, key,
             num_random_walk=num_rw,
             random_walk_length=rw_len,
@@ -267,20 +267,30 @@ def _sample_minibatch(
             # dist_graph.h:141-151, single-store edition)
             from .parallel.ggms import cold_sample_callback
 
-            num_cache_node, host_sampler, cold_cap = tier
-            hot = jnp.where(
-                (frontier != EMPTY) & (frontier < num_cache_node),
-                frontier, EMPTY,
-            )
-            nbr, weights = _sample_layer(
-                graph, hot, fanout, k_layer, sample_type, rw_params
-            )
-            cold_neigh, cold_mask, cold_of = cold_sample_callback(
-                host_sampler, frontier, jax.random.key_data(k_layer),
-                fanout, num_cache_node, cold_cap,
-            )
-            nbr = jnp.where(cold_mask[:, None], cold_neigh, nbr)
-            overflow = overflow | cold_of
+            if sample_type == SampleType.RANDOM_WALK:
+                # every walk STEP splits hot/cold itself (walkers move)
+                num_rw, rw_len, restart = rw_params
+                nbr, weights, t_of = sample_random_walk(
+                    graph.indptr, graph.indices, frontier, fanout, k_layer,
+                    num_random_walk=num_rw, random_walk_length=rw_len,
+                    restart_prob=restart, tier=tier,
+                )
+                overflow = overflow | t_of
+            else:
+                num_cache_node, host_sampler, cold_cap = tier
+                hot = jnp.where(
+                    (frontier != EMPTY) & (frontier < num_cache_node),
+                    frontier, EMPTY,
+                )
+                nbr, weights = _sample_layer(
+                    graph, hot, fanout, k_layer, sample_type, rw_params
+                )
+                cold_neigh, cold_mask, cold_of = cold_sample_callback(
+                    host_sampler, frontier, jax.random.key_data(k_layer),
+                    fanout, num_cache_node, cold_cap,
+                )
+                nbr = jnp.where(cold_mask[:, None], cold_neigh, nbr)
+                overflow = overflow | cold_of
         else:
             nbr, weights = _sample_layer(
                 graph, frontier, fanout, k_layer, sample_type, rw_params
