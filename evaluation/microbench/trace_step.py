@@ -69,33 +69,76 @@ def main():
         root_path="/tmp",
         dataset="products_synth",
     )
-    engine = Engine(ds, config)
-    engine.init()
+    if "--dist-graph" in sys.argv:
+        # partitioned-topology path (MultiChipEngine, P=1): attributes the
+        # exchange machinery tax (plan/owner-draw/unpermute) per op
+        import numpy as np
 
-    # warm-up: compile everything outside the trace window
-    from xgnn_tpu.engine.shuffler import Shuffler
+        from xgnn_tpu.engine.multi_engine import MultiChipEngine
+        from xgnn_tpu.engine.shuffler import Shuffler
 
-    shuffler = Shuffler(ds.train_set, config.batch_size, seed=1)
-    items = []
-    for i, step_item in enumerate(shuffler.epoch_batches(0)):
-        if i >= steps:
-            break
-        items.append(
-            (step_item, jax.random.fold_in(jax.random.key(7), i), (0, i))
+        config.use_dist_graph = True
+        config.part_cache = True
+        config.num_worker = 1
+        engine = MultiChipEngine(ds, config)
+        engine.init()
+        shuffler = Shuffler(
+            np.asarray(ds.train_set), config.batch_size, num_worker=1,
+            worker_id=0, seed=1,
         )
+        items = []
+        for i, (s, n) in enumerate(shuffler.epoch_batches(0)):
+            if i >= steps:
+                break
+            seeds = np.full((1, engine.capacities[0]), -1, np.int32)
+            seeds[0, : len(s)] = s
+            seeds[seeds < 0] = np.iinfo(np.int32).max
+            k = jax.random.fold_in(jax.random.key(7), i)
+            items.append((
+                seeds, np.asarray([n], np.int32),
+                np.asarray(jax.random.key_data(jax.random.split(k, 1))),
+                np.asarray(jax.random.key_data(
+                    jax.random.split(jax.random.fold_in(k, 1 << 20), 1)
+                )),
+            ))
+
+        def run_steps():
+            for seeds, nums, keys, dkeys in items:
+                engine.state, metrics = engine.step_fn(
+                    engine.state, engine.topo, engine.feat_parts,
+                    engine.lab_parts, engine._put_batch(seeds),
+                    engine._put_batch(nums), engine._put_batch(keys),
+                    engine._put_batch(dkeys),
+                )
+            jax.block_until_ready(metrics["loss"])
+    else:
+        engine = Engine(ds, config)
+        engine.init()
+
+        # warm-up: compile everything outside the trace window
+        from xgnn_tpu.engine.shuffler import Shuffler
+
+        shuffler = Shuffler(ds.train_set, config.batch_size, seed=1)
+        items = []
+        for i, step_item in enumerate(shuffler.epoch_batches(0)):
+            if i >= steps:
+                break
+            items.append(
+                (step_item, jax.random.fold_in(jax.random.key(7), i), (0, i))
+            )
+
+        def run_steps():
+            # the serial body of Engine.train_epoch, one step at a time
+            for i, item in enumerate(items):
+                batch, x, labels, info, _ = engine._produce(item)
+                engine.state, metrics = engine._train_step(
+                    engine.state, batch.blocks, x, labels, batch.num_output,
+                    jax.random.fold_in(jax.random.key(3), i), batch.overflow,
+                )
+            jax.block_until_ready(metrics["loss"])
+
     if not items:
         raise SystemExit("no steps to trace (empty train shard or --steps 0)")
-
-    def run_steps():
-        # the serial body of Engine.train_epoch, one step at a time
-        for i, item in enumerate(items):
-            batch, x, labels, info, _ = engine._produce(item)
-            engine.state, metrics = engine._train_step(
-                engine.state, batch.blocks, x, labels, batch.num_output,
-                jax.random.fold_in(jax.random.key(3), i), batch.overflow,
-            )
-        jax.block_until_ready(metrics["loss"])
-
     run_steps()
 
     logdir = "/tmp/xgnn_trace"

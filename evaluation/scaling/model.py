@@ -31,6 +31,13 @@ BENCH_CAPS = (8000, 133376, 1007360, 2449152)
 BENCH_FANOUTS = (15, 10, 5)
 FEAT_BYTES = 4 * 128  # f32, 128-wide
 T_COMPUTE_MS = 171.0  # sample 68 + train 101 + extract ~2 (in-device part)
+# per-chip exchange MACHINERY (constant-ish in P, measured at P=1 where the
+# wires are free): request planning + response unpermute (~40 ms x 4
+# exchanges), the owner-side draw/gather over 1.25x-padded request
+# matrices, and the second read of the materialized feature response
+# (trace_step --dist-graph: 384 ms/step bench loop, 439 ms traced, vs
+# 171 ms single-store — PERF.md round-3 trace table)
+T_MACHINERY_MS = 213.0
 T_HOST_MS = 25.0      # per-step host dispatch (tunnel artifact; ~0 locally)
 EDGES_PER_STEP = 4.9e6
 
@@ -76,11 +83,17 @@ def main():
             f"features {feat_b/1e6:.1f} MB (padded at the measured-validated "
             "1.25x headroom, constant in P; measured useful bytes 1041 MB "
             "and per-peer imbalance <= 1.08 — measured_traffic.tsv)\n"
-            f"# compute {T_COMPUTE_MS:.0f} ms/step/chip (measured); "
-            "efficiency = throughput(P) / (P * throughput(1))\n"
+            f"# compute {T_COMPUTE_MS:.0f} ms/step/chip + exchange machinery "
+            f"{T_MACHINERY_MS:.0f} ms/step/chip (both measured: the "
+            "machinery is the P=1 dist-graph bench delta, constant in P); "
+            "efficiency = throughput(P) / (P * throughput_partitioned(1)); "
+            "sharding_tax = throughput_partitioned(1) / "
+            "throughput_single_store(1)\n"
             "ici_gbps\tworkers\tt_exchange_ms\tt_step_ms\t"
-            "edges_per_sec_per_chip\tefficiency_serial\tefficiency_overlap\n"
+            "edges_per_sec_per_chip\tefficiency_serial\tefficiency_overlap\t"
+            "vs_single_store\n"
         )
+        t_base = T_COMPUTE_MS + T_MACHINERY_MS
         for w_gbps in args.ici_gbps:
             for p in args.workers:
                 if p == 1:
@@ -90,14 +103,15 @@ def main():
                     t_x = (topo_b + feat_b) * remote / (w_gbps * 1e9) * 1e3
                 # serial: exchange fully exposed; overlap: exchange hidden
                 # behind compute up to max()
-                t_serial = T_COMPUTE_MS + t_x
-                t_overlap = max(T_COMPUTE_MS, t_x)
+                t_serial = t_base + t_x
+                t_overlap = max(t_base, t_x)
                 eps = EDGES_PER_STEP / (t_serial * 1e-3)
                 f.write(
                     f"{w_gbps:.0f}\t{p}\t{t_x:.1f}\t{t_serial:.1f}\t"
                     f"{eps/1e6:.2f}M\t"
-                    f"{T_COMPUTE_MS / t_serial:.3f}\t"
-                    f"{T_COMPUTE_MS / t_overlap:.3f}\n"
+                    f"{t_base / t_serial:.3f}\t"
+                    f"{t_base / t_overlap:.3f}\t"
+                    f"{T_COMPUTE_MS / t_serial:.3f}\n"
                 )
     print(f"# wrote {out}")
     with open(out) as f:

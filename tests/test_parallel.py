@@ -964,3 +964,27 @@ def test_auto_placement_engine(learn_ds):
     assert eng2._tier is not None
     r2 = eng2.train_epoch(0)
     assert np.isfinite(r2["loss"])
+
+
+def test_auto_placement_multi_chip(learn_ds):
+    """auto_placement through MultiChipEngine: the solver sizes the split
+    for group_size = chips per ICI group; a tight budget yields a partial
+    cache (two-phase GGMS) and training stays finite."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    feat_total = learn_ds.num_node * learn_ds.feat.shape[1] * 4
+    topo_total = learn_ds.num_edge * 4
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        part_cache=True, auto_placement=True,
+        # per-chip budget: half the total split over NUM_DEV chips would
+        # fit, but a 0.35 reserve + skew forces a partial feature cache
+        hbm_budget_gb=0.35 * (feat_total + topo_total) / (1 << 30),
+        num_epoch=1, lr=0.01, pipeline=False, root_path="/tmp",
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    assert eng.placement_plan is not None
+    assert 0.0 < eng.config.cache_percentage <= 1.0
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"])
