@@ -145,6 +145,27 @@ print(f"proc {pid} OK loss={r['loss']:.6f} hit={r['hit_rate']:.4f} acc={acc:.4f}
 """
 
 
+HIER_WORKER = TWO_PHASE_WORKER.replace(
+    'localhost:29751', 'localhost:29761'
+).replace(
+    'part_cache=True, cache_percentage=0.3, cache_policy="pre_sample",',
+    'part_cache=True, cache_percentage=0.3, cache_policy="pre_sample",\n'
+    '    num_dcn_groups=2,',
+).replace(
+    "assert eng.two_phase",
+    "assert eng.two_phase and eng.num_groups == 2 and eng.num_parts == 2",
+)
+
+
+def test_two_process_hierarchical_two_phase(tmp_path):
+    """The deployment shape: 2 controllers x 2 devices with the DCN mesh
+    axis ON the process boundary — GGMS shards span each process's local
+    devices (ICI) and replicate across processes, while the two-phase miss
+    pipeline and presample run per-controller.  Identical replicated loss
+    and hit rate on both controllers."""
+    _run_two_process_engine(tmp_path, HIER_WORKER, check_hit=True)
+
+
 def test_two_process_two_phase_ggms(tmp_path):
     """The FULL two-phase GGMS under multi-controller execution (VERDICT
     round-2 item 2): partial partitioned cache + per-process host miss
