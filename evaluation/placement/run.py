@@ -1,0 +1,113 @@
+"""Placement-solver budget sweep (PartitionSolver analog validation).
+
+Sweeps the per-chip HBM budget from starvation to abundance on a skewed
+synthetic graph and records the solved store split
+(dist_graph_percentage, cache_percentage), expected hit rates, and — for a
+spot-check subset — the ENGINE-MEASURED cache hit rate when training under
+the solved plan.  Validates that
+
+- the greedy marginal-accesses-per-byte fill respects the budget,
+- coverage grows monotonically with budget,
+- the expected feature hit rate tracks the measured one (the CDF the
+  solver plans with is the same statistic the cache serves).
+
+Usage: python evaluation/placement/run.py [--small]
+Writes results.tsv.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    small = "--small" in sys.argv
+    import jax
+
+    if small or os.environ.get("XGNN_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from xgnn_tpu import RunConfig, synthetic
+    from xgnn_tpu.engine import Engine
+    from xgnn_tpu.parallel.placement import solve_placement
+
+    num_node = 30_000 if small else 300_000
+    ds = synthetic.make_synthetic_dataset(
+        num_node=num_node, avg_degree=8, feat_dim=32, num_class=8, seed=0,
+        train_frac=0.1,
+    )
+    deg = np.diff(np.asarray(ds.indptr)).astype(np.int64)
+    feat_total = ds.num_node * ds.feat.shape[1] * 4
+    topo_total = ds.num_edge * 4 + (ds.num_node + 1) * 4
+    total = feat_total + topo_total
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.tsv"
+    )
+    with open(out, "w") as f:
+        f.write(
+            "# placement solver budget sweep: nodes=%d edges=%d "
+            "feat_total=%.1fMB topo_total=%.1fMB (reserve 0.35)\n"
+            % (ds.num_node, ds.num_edge, feat_total / 1e6, topo_total / 1e6)
+        )
+        f.write(
+            "budget_frac\tdist_graph_pct\tcache_pct\texp_topo_hit\t"
+            "exp_feat_hit\tmeasured_hit\n"
+        )
+        prev = (0.0, 0.0)
+        for frac in (0.1, 0.2, 0.4, 0.6, 0.8, 1.0, 1.5, 2.0):
+            plan = solve_placement(
+                ds.num_node, ds.num_edge, ds.feat.shape[1],
+                hbm_bytes=int(frac * total), group_size=1, degrees=deg,
+            )
+            assert plan.topology_bytes + plan.cache_bytes <= int(
+                frac * total
+            )
+            assert plan.dist_graph_percentage >= prev[0] - 1e-9
+            assert plan.cache_percentage >= prev[1] - 1e-9
+            prev = (plan.dist_graph_percentage, plan.cache_percentage)
+
+            measured = float("nan")
+            if frac in (0.4, 0.8):
+                cfg = RunConfig(
+                    batch_size=500, fanout=(10, 5), num_layer=2,
+                    num_hidden=32, num_epoch=2, model="graphsage",
+                    sample_type="khop3", auto_placement=True,
+                    hbm_budget_gb=frac * total / (1 << 30),
+                    cache_policy="pre_sample",
+                    pipeline=False, calibration_batches=1, lr=0.01,
+                    root_path="/tmp",
+                )
+                eng = Engine(ds, cfg).init()
+                r = eng.train_epoch(0)
+                measured = r.get("hit_rate", float("nan"))
+                # the degree CDF overestimates access concentration a
+                # little: every batch touches its (uniformly drawn) seeds
+                # regardless of degree, and per-batch dedup counts a hub
+                # once however many picks hit it — so measured trails
+                # expected by up to ~0.1 (the presample CDF, when the
+                # engine ranks with it, closes most of that)
+                ok = (
+                    np.isnan(measured)
+                    or plan.cache_percentage >= 1.0
+                    or measured >= plan.expected_feat_hit - 0.15
+                )
+                assert ok, (measured, plan.expected_feat_hit)
+            f.write(
+                f"{frac}\t{plan.dist_graph_percentage}\t"
+                f"{plan.cache_percentage}\t{plan.expected_topo_hit:.4f}\t"
+                f"{plan.expected_feat_hit:.4f}\t{measured:.4f}\n"
+            )
+            print(
+                f"test_result:placement:budget={frac}:dist="
+                f"{plan.dist_graph_percentage}:cache={plan.cache_percentage}"
+                f":measured_hit={measured:.4f}"
+            )
+    print(f"# wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -539,6 +539,7 @@ class Engine:
             if isinstance(stream, Prefetcher):
                 stream.close()
         # ONE device->host pull for the whole epoch's metrics
+        epoch_hit_rate = float("nan")
         if losses:
             cols = [
                 jnp.stack(losses),
@@ -554,7 +555,9 @@ class Engine:
             loss_v, acc_v, over_v, samp_over_v, nin_v = stats[:5]
             if hits:
                 h_sum, m_sum = stats[5].sum(), stats[6].sum()
-                hit_rate = float(h_sum / max(h_sum + m_sum, 1.0))
+                hit_rate = epoch_hit_rate = float(
+                    h_sum / max(h_sum + m_sum, 1.0)
+                )
                 prof.log_step(epoch, 0, P.L2_CACHE_HIT_RATE, hit_rate)
                 max_miss = stats[6].max()
                 if max_miss > self.feature_source.miss_cap:
@@ -591,7 +594,10 @@ class Engine:
                     jax.lax.top_k(self._dyn_freq, k)[1].astype(jnp.int32)
                 )
                 self.feature_source.refresh(top)
-        return {"epoch": epoch, "loss": loss, "train_acc": acc, "time": dt}
+        return {
+            "epoch": epoch, "loss": loss, "train_acc": acc, "time": dt,
+            "hit_rate": epoch_hit_rate,
+        }
 
     def evaluate(self, split: str = "valid", max_batches: Optional[int] = None) -> float:
         nodes = self.ds.valid_set if split == "valid" else self.ds.test_set
