@@ -112,7 +112,10 @@ def partitioned_gather(
     local_idx = jnp.where(req_valid, local_idx, 0)
     rows = jnp.take(local_rows, local_idx.reshape(-1), axis=0, mode="clip")
     rows = rows.reshape(num_parts, seg_cap, -1)
-    rows = rows * req_valid[..., None].astype(rows.dtype)
+    # no owner-side zeroing of padding slots: a padding slot is never
+    # addressed by any requester's (owner, rank) pick, and the requester
+    # masks its own EMPTY requests below — zeroing here costs a full
+    # (P, seg, F) read+write pass for nothing
     # phase 2: ship rows back
     resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)
     resp = resp.reshape(num_parts, seg_cap, rows.shape[-1])
