@@ -126,16 +126,51 @@ def main():
                 ok = (owner < p) & (rank < seg)
                 return out * ok[:, None].astype(out.dtype)
 
+            @jax.jit
+            def unperm_linear(resp, owner, rank):
+                # explicit 1-D linearization of the (owner, rank) pick
+                so = jnp.minimum(owner, p - 1)
+                sr = jnp.clip(rank, 0, seg - 1)
+                out = jnp.take(
+                    resp.reshape(p * seg, -1), so * seg + sr, axis=0
+                )
+                ok = (owner < p) & (rank < seg)
+                return out * ok[:, None].astype(out.dtype)
+
+            @jax.jit
+            def plan_linear(ids):
+                # prefix-count rank + 1-D linearized send scatter
+                valid = ids != EMPTY_KEY
+                owner = jnp.where(valid, ids % p, p).astype(jnp.int32)
+                rank = jnp.zeros(ids.shape[0], jnp.int32)
+                for k in range(p):
+                    m = owner == k
+                    rank = rank + jnp.where(m, jnp.cumsum(m) - 1, 0)
+                tgt = jnp.where(
+                    (owner < p) & (rank < seg), owner * seg + rank,
+                    p * seg,
+                )
+                send = (
+                    jnp.full(p * seg, EMPTY_KEY, ids.dtype)
+                    .at[tgt]
+                    .set(ids, mode="drop")
+                )
+                return send.reshape(p, seg), owner, rank
+
             t_uold = timeit(unperm_old, resp, perm, owner_s, rank,
                             iters=10) * 1e3
             t_unew = timeit(unperm_new, resp, owner, rank_new, iters=10) * 1e3
+            t_ulin = timeit(unperm_linear, resp, owner, rank_new,
+                            iters=10) * 1e3
+            t_plin = timeit(plan_linear, ids, iters=10) * 1e3
             fh.write(
                 f"{mode}\t{n}\t{p}\t{f}\t{t_old:.2f}\t{t_new:.2f}\t"
-                f"{t_uold:.2f}\t{t_unew:.2f}\n"
+                f"{t_uold:.2f}\t{t_unew:.2f}\t{t_ulin:.2f}\t{t_plin:.2f}\n"
             )
             print(
                 f"test_result:exchange:P={p}:plan_ms={t_old:.2f}->{t_new:.2f}"
-                f":unperm_ms={t_uold:.2f}->{t_unew:.2f}"
+                f"(lin {t_plin:.2f}):unperm_ms={t_uold:.2f}->{t_unew:.2f}"
+                f"(lin {t_ulin:.2f})"
             )
 
         # miss-split compaction: stable bool argsort (round 2/3a) vs the
