@@ -988,3 +988,21 @@ def test_auto_placement_multi_chip(learn_ds):
     assert 0.0 < eng.config.cache_percentage <= 1.0
     r = eng.train_epoch(0)
     assert np.isfinite(r["loss"])
+
+
+def test_auto_placement_starved_budget_stays_tiered(learn_ds):
+    """A budget too small for even one cache bucket must yield a TIERED
+    store (tiny cache), never cache_percentage=0 (which the engines read
+    as 'no cache knob' => full HBM residency)."""
+    from xgnn_tpu.config import RunConfig
+    from xgnn_tpu.parallel.placement import resolve_auto_placement
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3",
+        auto_placement=True, hbm_budget_gb=2e-4,  # ~200 KB
+        root_path="/tmp",
+    )
+    cfg, plan = resolve_auto_placement(config, learn_ds, group_size=1)
+    assert 0.0 < cfg.cache_percentage < 1.0, cfg.cache_percentage
+    assert cfg.use_dist_graph and cfg.dist_graph_percentage < 1.0

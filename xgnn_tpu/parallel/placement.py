@@ -231,7 +231,14 @@ def resolve_auto_placement(config, ds, *, group_size: int = 1, device=None):
             plan.dist_graph_percentage, 0.01
         )
     if config.cache_percentage == defaults["cache_percentage"].default:
-        updates["cache_percentage"] = plan.cache_percentage
+        # never emit exactly 0: the engines read cache_percentage == 0 as
+        # "no cache knob" => FULL HBM residency, the opposite of a starved
+        # budget; a floor of one bucket keeps the store tiered
+        updates["cache_percentage"] = (
+            plan.cache_percentage
+            if plan.cache_percentage >= 1.0
+            else max(plan.cache_percentage, 1.0 / 128)
+        )
     if not config.use_dist_graph and plan.use_dist_graph:
         updates["use_dist_graph"] = True
     return dataclasses.replace(config, **updates), plan
