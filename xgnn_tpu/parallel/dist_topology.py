@@ -273,7 +273,11 @@ def sample_layer_partitioned(
     resp = resp.reshape(num_parts, seg_cap, fanout)
     safe_owner = jnp.minimum(owner, num_parts - 1)
     safe_rank = jnp.clip(rank, 0, seg_cap - 1)
-    picked = resp[safe_owner, safe_rank]  # (cap, K), request order
+    picked = jnp.take(  # (cap, K), request order; 1-D linearized pick
+        resp.reshape(num_parts * seg_cap, fanout),
+        safe_owner * seg_cap + safe_rank,
+        axis=0,
+    )
     neigh = jnp.where(
         ((owner < num_parts) & (rank < seg_cap))[:, None], picked, EMPTY
     )
