@@ -470,3 +470,24 @@ def test_single_chip_tiered_pinsage(learnable_ds):
     accs = [engine.train_epoch(e)["train_acc"] for e in range(6)]
     assert all(np.isfinite(a) for a in accs)
     assert max(accs) > 0.5, accs
+
+
+def test_single_chip_tiered_weighted_prefix(learnable_ds):
+    """Out-of-core topology x weighted-prefix sampling: the hot prefix
+    carries sliced prob_prefix tables (+ coarse CDF) and cold nodes draw
+    through the host prefix-search path."""
+    from xgnn_tpu import synthetic
+
+    ds = learnable_ds
+    if getattr(ds, "prob_prefix_table", None) is None:
+        synthetic.build_alias_tables(ds)
+    config = RunConfig(
+        batch_size=128, fanout=(4, 3), num_layer=2, num_hidden=16,
+        num_epoch=4, model="graphsage", sample_type="weighted_khop_prefix",
+        use_dist_graph=True, dist_graph_percentage=0.5,
+        pipeline=False, calibration_batches=1, lr=0.05, root_path="/tmp",
+    )
+    eng = Engine(ds, config).init()
+    assert eng._tier is not None
+    accs = [eng.train_epoch(e)["train_acc"] for e in range(4)]
+    assert max(accs) > 0.5, accs
