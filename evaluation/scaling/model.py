@@ -35,9 +35,10 @@ T_COMPUTE_MS = 171.0  # sample 68 + train 101 + extract ~2 (in-device part)
 # wires are free): request planning + response unpermute (~40 ms x 4
 # exchanges), the owner-side draw/gather over 1.25x-padded request
 # matrices, and the second read of the materialized feature response
-# (trace_step --dist-graph: 384 ms/step bench loop, 439 ms traced, vs
-# 171 ms single-store — PERF.md round-3 trace table)
-T_MACHINERY_MS = 213.0
+# (trace_step --dist-graph + bench: 369 ms/step after the linearized
+# picks and owner-side-zeroing removal, vs 171 ms single-store — PERF.md
+# round-3 trace table)
+T_MACHINERY_MS = 198.0
 T_HOST_MS = 25.0      # per-step host dispatch (tunnel artifact; ~0 locally)
 EDGES_PER_STEP = 4.9e6
 
