@@ -261,6 +261,41 @@ def plot_partial_graph_cache():
     _save(fig, "partial_graph_cache")
 
 
+def plot_placement():
+    rows = _read_commented_tsv(
+        os.path.join(HERE, "placement", "results.tsv")
+    )
+    xs = [float(r["budget_frac"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(5.6, 3.6))
+    ax.plot(xs, [float(r["dist_graph_pct"]) for r in rows], color=S1,
+            linewidth=2, marker="o", markersize=5, markeredgecolor=SURFACE,
+            markeredgewidth=2, label="topology coverage (solved)")
+    ax.plot(xs, [float(r["cache_pct"]) for r in rows], color=S2,
+            linewidth=2, marker="o", markersize=5, markeredgecolor=SURFACE,
+            markeredgewidth=2, label="feature cache coverage (solved)")
+    ax.plot(xs, [float(r["exp_feat_hit"]) for r in rows], color=S2,
+            linewidth=1.2, linestyle=(0, (4, 3)),
+            label="expected feature hit rate")
+    meas = [
+        (x, float(r["measured_hit"])) for x, r in zip(xs, rows)
+        if r["measured_hit"] not in ("nan", "")
+        and r["measured_hit"] == r["measured_hit"]
+        and float(r["measured_hit"]) == float(r["measured_hit"])
+    ]
+    if meas:
+        mx, my = zip(*meas)
+        ax.scatter(mx, my, s=70, color=S2, edgecolor=INK, linewidth=1.2,
+                   zorder=5, label="measured hit rate (engine run)")
+    ax.set_xlabel("per-chip HBM budget / full-residency bytes")
+    ax.set_ylabel("fraction")
+    ax.set_ylim(0, 1.05)
+    ax.set_title("Placement solver: budget → store split (greedy "
+                 "marginal-accesses-per-byte)", color=INK, loc="left",
+                 fontsize=10)
+    ax.legend(loc="lower right", labelcolor=INK2, fontsize=8)
+    _save(fig, "placement")
+
+
 def plot_ablation():
     path = os.path.join(HERE, "ablation", "results.tsv")
     if not os.path.isfile(path):
@@ -343,6 +378,7 @@ PLOTS = {
     "scaling": plot_scaling,
     "time_to_acc": plot_time_to_acc,
     "partial_graph_cache": plot_partial_graph_cache,
+    "placement": plot_placement,
     "ablation": plot_ablation,
 }
 
