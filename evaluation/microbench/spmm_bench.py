@@ -1,0 +1,143 @@
+"""Full-graph SpMM / SDDMM bandwidth bench (BASELINE.json north-star line:
+"SpMM/SDDMM must hit speed-of-light HBM bandwidth per chip").
+
+Times `ops.spmm.spmm_csr` (the full-neighbor aggregation behind layer-wise
+inference, inference.py) and `gat_aggregate_csr` (SDDMM + edge-softmax +
+weighted SpMM) at products scale, and reports effective GB/s against the
+speed-of-light byte count:
+
+  SpMM bytes >= E * (F*fb  [gathered row] + 4 [index] ) + 2*N*F*fb
+               (accumulator is re-read/re-written once per CHUNK pass —
+                the lower bound counts it once)
+
+Also A/Bs the scatter-add with `indices_are_sorted=True`: CSR edge order
+makes the destination rows nondecreasing across the edge stream, which the
+round-2 implementation never told XLA.
+
+Usage: python evaluation/microbench/spmm_bench.py [--small]
+Appends to spmm_bench.tsv.
+"""
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--feat", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from run import timeit  # evaluation/microbench helpers
+    from xgnn_tpu.ops.spmm import gat_aggregate_csr, spmm_csr
+    from xgnn_tpu.synthetic_device import make_device_dataset
+
+    nodes, edges = (30_000, 300_000) if args.small else (
+        2_449_029, 62_000_000
+    )
+    f = 16 if args.small else args.feat
+    ds = make_device_dataset(
+        nodes, edges, f, 8, train_frac=0.05, seed=0, name="spmm_bench",
+        dedup=False,
+    )
+    g = ds.graph
+    n, e = g.num_node, g.num_edge
+    h = jax.random.normal(jax.random.key(0), (n, f), jnp.float32)
+
+    spmm = functools.partial(spmm_csr, num_node=n)
+    t_spmm = timeit(
+        jax.jit(lambda ip, ix, h: spmm(ip, ix, h)), g.indptr, g.indices, h,
+        iters=5,
+    )
+
+    # A/B: the same kernel WITHOUT the indices_are_sorted hint (the round-2
+    # implementation) — inline copy so both variants run in one session
+
+    @functools.partial(jax.jit, static_argnames=())
+    def spmm_unsorted(indptr, indices, h):
+        chunk = 1 << 20
+        num_edge = indices.shape[0]  # tile-padded, like spmm_csr sees it
+        f_ = h.shape[1]
+        num_chunks = -(-num_edge // chunk)
+        pad = num_chunks * chunk - num_edge
+        idx_pad = jnp.concatenate([indices, jnp.zeros(pad, indices.dtype)])
+        epos = jnp.arange(num_chunks * chunk, dtype=jnp.int32).reshape(
+            num_chunks, chunk
+        )
+        idx_chunks = idx_pad.reshape(num_chunks, chunk)
+
+        def body(acc, inputs):
+            eids, nbrs = inputs
+            rows = (
+                jnp.searchsorted(indptr, eids, side="right").astype(
+                    jnp.int32
+                ) - 1
+            )
+            valid = eids < num_edge
+            vals = jnp.take(h, nbrs, axis=0, mode="clip")
+            vals = vals * valid[:, None].astype(h.dtype)
+            return acc.at[jnp.where(valid, rows, n)].add(
+                vals, mode="drop"
+            ), None
+
+        acc = jnp.zeros((n, f_), h.dtype)
+        acc, _ = jax.lax.scan(body, acc, (epos, idx_chunks))
+        return acc
+
+    t_uns = timeit(spmm_unsorted, g.indptr, g.indices, h, iters=5)
+    print(
+        f"test_result:spmm_sorted_hint:sorted_ms={t_spmm*1e3:.1f}:"
+        f"unsorted_ms={t_uns*1e3:.1f}"
+    )
+    bytes_min = e * (f * 4 + 4) + 2 * n * f * 4
+    gbps = bytes_min / t_spmm / 1e9
+    eps = e / t_spmm
+
+    # SDDMM + edge softmax + weighted SpMM (H=1)
+    feat3 = h.reshape(n, 1, f)
+    el = jax.random.normal(jax.random.key(1), (n, 1), jnp.float32)
+    er = jax.random.normal(jax.random.key(2), (n, 1), jnp.float32)
+    gat = functools.partial(gat_aggregate_csr, num_node=n)
+    t_gat = timeit(
+        jax.jit(lambda ip, ix, x, a, b: gat(ip, ix, x, a, b)),
+        g.indptr, g.indices, feat3, el, er, iters=5,
+    )
+    gat_eps = e / t_gat
+
+    mode = "cpu" if args.small else "tpu"
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spmm_bench.tsv"
+    )
+    header = not os.path.exists(out)
+    with open(out, "a") as fh:
+        if header:
+            fh.write(
+                "# mode\tN\tE\tF\tspmm_ms\tspmm_GBps\tspmm_edges_per_s\t"
+                "gat_ms\tgat_edges_per_s\n"
+            )
+        fh.write(
+            f"{mode}\t{n}\t{e}\t{f}\t{t_spmm*1e3:.1f}\t{gbps:.1f}\t"
+            f"{eps/1e6:.1f}M\t{t_gat*1e3:.1f}\t{gat_eps/1e6:.1f}M\n"
+        )
+    print(
+        f"test_result:spmm:ms={t_spmm*1e3:.1f}:GBps={gbps:.1f}:"
+        f"edges_per_s={eps/1e6:.1f}M"
+    )
+    print(f"test_result:sddmm_gat:ms={t_gat*1e3:.1f}:edges_per_s={gat_eps/1e6:.1f}M")
+    print(f"# appended to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,12 @@ def spmm_csr(
         valid = eids < num_edge
         vals = jnp.take(h, nbrs, axis=0, mode="clip")
         vals = vals * valid[:, None].astype(h.dtype)
-        acc = acc.at[jnp.where(valid, rows, num_node)].add(vals, mode="drop")
+        # CSR edge order makes destination rows nondecreasing within the
+        # chunk (padding maps to num_node, beyond every real row) — tell
+        # XLA so the scatter lowers to the sorted-segment path
+        acc = acc.at[jnp.where(valid, rows, num_node)].add(
+            vals, mode="drop", indices_are_sorted=True
+        )
         return acc, None
 
     acc = jnp.zeros((num_node, f), h.dtype)
@@ -91,7 +96,9 @@ def segment_max_csr(
         valid = eids < num_edge
         v = jnp.take(vals, nbrs, axis=0, mode="clip")
         v = jnp.where(valid[:, None], v, init)
-        acc = acc.at[jnp.where(valid, rows, num_node)].max(v, mode="drop")
+        acc = acc.at[jnp.where(valid, rows, num_node)].max(
+            v, mode="drop", indices_are_sorted=True
+        )
         return acc, None
 
     acc = jnp.full((num_node, h), init, vals.dtype)
@@ -150,8 +157,10 @@ def gat_aggregate_csr(
         w = jnp.where(valid[:, None], w, 0.0)  # (chunk, H)
         fv = jnp.take(feat, nbrs, axis=0, mode="clip")  # (chunk, H, D)
         tgt = jnp.where(valid, rows, num_node)
-        s_num = s_num.at[tgt].add(fv * w[..., None], mode="drop")
-        s_den = s_den.at[tgt].add(w, mode="drop")
+        s_num = s_num.at[tgt].add(
+            fv * w[..., None], mode="drop", indices_are_sorted=True
+        )
+        s_den = s_den.at[tgt].add(w, mode="drop", indices_are_sorted=True)
         return (s_num, s_den), None
 
     s_num = jnp.zeros((num_node, heads, d), feat.dtype)
