@@ -61,6 +61,7 @@ def main():
         jax.jit(lambda ip, ix, h: spmm(ip, ix, h)), g.indptr, g.indices, h,
         iters=5,
     )
+    bytes_min = e * (f * 4 + 4) + 2 * n * f * 4
 
     # A/B: the same kernel WITHOUT the indices_are_sorted hint (the round-2
     # implementation) — inline copy so both variants run in one session
@@ -101,7 +102,21 @@ def main():
         f"test_result:spmm_sorted_hint:sorted_ms={t_spmm*1e3:.1f}:"
         f"unsorted_ms={t_uns*1e3:.1f}"
     )
-    bytes_min = e * (f * 4 + 4) + 2 * n * f * 4
+
+    # degree-bucketed plan (gather+reduce, no per-edge scatter)
+    from xgnn_tpu.ops.spmm import build_spmm_plan, spmm_csr_planned
+
+    indptr_host = np.asarray(g.indptr)[: n + 1]
+    plan, meta = build_spmm_plan(indptr_host)
+    t_plan = timeit(
+        lambda idx, x: spmm_csr_planned(plan, meta, idx, x),
+        g.indices, h, iters=5,
+    )
+    gbps_p = bytes_min / t_plan / 1e9
+    print(
+        f"test_result:spmm_planned:ms={t_plan*1e3:.1f}:GBps={gbps_p:.1f}:"
+        f"edges_per_s={e/t_plan/1e6:.1f}M"
+    )
     gbps = bytes_min / t_spmm / 1e9
     eps = e / t_spmm
 

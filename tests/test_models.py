@@ -335,3 +335,53 @@ def test_agg_impl_tiled_matches_loop(rng, conv):
                     jax.tree.leaves(grads["loop"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_planned_matches_edge_scatter():
+    """Degree-bucketed SpMM (gather+reduce plan) == edge-scatter spmm_csr,
+    including hub splitting (max_cap forced tiny so high-degree nodes span
+    multiple tasks) and the mean path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu import synthetic
+    from xgnn_tpu.ops.spmm import (
+        build_spmm_plan,
+        spmm_csr,
+        spmm_csr_planned,
+    )
+
+    ds = synthetic.make_synthetic_dataset(
+        num_node=1500, avg_degree=9, feat_dim=24, num_class=4, seed=1
+    )
+    h = np.random.default_rng(0).standard_normal(
+        (ds.num_node, 24)
+    ).astype(np.float32)
+    ref = spmm_csr(
+        jnp.asarray(ds.indptr), jnp.asarray(ds.indices), jnp.asarray(h),
+        num_node=ds.num_node,
+    )
+    refm = spmm_csr(
+        jnp.asarray(ds.indptr), jnp.asarray(ds.indices), jnp.asarray(h),
+        num_node=ds.num_node, mean=True,
+    )
+    deg = np.diff(ds.indptr)
+    assert deg.max() > 8  # the tiny cap below must actually split hubs
+    inv = jnp.asarray(
+        np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0).astype(np.float32)
+    )
+    for cap in (8, 2048):
+        plan, meta = build_spmm_plan(ds.indptr, max_cap=cap)
+        got = spmm_csr_planned(
+            plan, meta, jnp.asarray(ds.indices), jnp.asarray(h)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        gotm = spmm_csr_planned(
+            plan, meta, jnp.asarray(ds.indices), jnp.asarray(h),
+            mean=True, inv_deg=inv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gotm), np.asarray(refm), rtol=2e-5, atol=2e-5
+        )

@@ -21,26 +21,24 @@ from .models.gnn import GNN
 from .ops.spmm import gat_aggregate_csr, spmm_csr
 
 
-def _infer_layer_sage(params, indptr, indices, h, num_node, chunk):
-    h_neigh = spmm_csr(
-        indptr, indices, h, num_node=num_node, mean=True, chunk=chunk
-    )
+def _infer_layer_sage(params, indptr, indices, h, num_node, chunk, agg):
+    h_neigh = agg(h, mean=True)
     w_self = params["Dense_0"]["kernel"]
     w_neigh = params["Dense_1"]["kernel"]
     b = params["Dense_1"]["bias"]
     return h @ w_self + h_neigh @ w_neigh + b
 
 
-def _infer_layer_gcn(params, indptr, indices, h, num_node, chunk):
-    deg = (indptr[1:] - indptr[:-1]).astype(h.dtype)
+def _infer_layer_gcn(params, indptr, indices, h, num_node, chunk, agg):
+    deg = (indptr[1:num_node + 1] - indptr[:num_node]).astype(h.dtype)
     inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(deg, 1.0))
     hw = h @ params["Dense_0"]["kernel"]
     hw = hw * inv_sqrt[:, None]
-    agg = spmm_csr(indptr, indices, hw, num_node=num_node, chunk=chunk)
-    return agg * inv_sqrt[:, None] + params["bias"]
+    out = agg(hw, mean=False)
+    return out * inv_sqrt[:, None] + params["bias"]
 
 
-def _infer_layer_gat(params, indptr, indices, h, num_node, chunk, heads):
+def _infer_layer_gat(params, indptr, indices, h, num_node, chunk, heads, agg=None):
     """Exact full-neighbor GAT layer (DGL GATConv semantics)."""
     w = params["kernel"].reshape(params["kernel"].shape[0], -1)  # (F, H*D)
     d = w.shape[1] // heads
@@ -71,6 +69,27 @@ def full_graph_inference(
     # arrays (the usual callers) are exact-length
     if num_node is None:
         num_node = indptr.shape[0] - 1
+    # degree-bucketed SpMM plan (gather+reduce, no per-edge scatter — the
+    # edge-scatter spmm_csr measured ~3 GB/s at 100M-edge scale,
+    # spmm_bench.tsv); built once per graph, shared by all layers
+    import numpy as np
+
+    from .ops.spmm import build_spmm_plan, spmm_csr_planned
+
+    indptr_host = np.asarray(indptr)[: num_node + 1]
+    plan, plan_meta = build_spmm_plan(indptr_host)
+    deg_h = np.diff(indptr_host)
+    inv_deg = jnp.asarray(
+        np.where(deg_h > 0, 1.0 / np.maximum(deg_h, 1), 0.0).astype(
+            np.float32
+        )
+    )
+
+    def agg(x, mean):
+        return spmm_csr_planned(
+            plan, plan_meta, indices, x, mean=mean, inv_deg=inv_deg
+        )
+
     layer_fns = {
         "graphsage": _infer_layer_sage,
         "pinsage": _infer_layer_sage,  # uniform weights at eval
@@ -85,7 +104,7 @@ def full_graph_inference(
             heads = 1 if i == model.num_layers - 1 else model.num_heads
             h = fn(layer_params, indptr, indices, h, num_node, chunk, heads)
         else:
-            h = fn(layer_params, indptr, indices, h, num_node, chunk)
+            h = fn(layer_params, indptr, indices, h, num_node, chunk, agg)
         if i != model.num_layers - 1:
             # same inter-layer activation as training (models/gnn.py):
             # reference GAT uses F.elu (train_gat.py:59), the rest ReLU

@@ -167,3 +167,121 @@ def gat_aggregate_csr(
     s_den = jnp.zeros((num_node, heads), feat.dtype)
     (s_num, s_den), _ = jax.lax.scan(body, (s_num, s_den), (epos, idx_chunks))
     return s_num / jnp.maximum(s_den, 1e-9)[..., None]
+
+
+# ---------------------------------------------------------------- planned
+# Degree-bucketed SpMM: the edge-scatter formulation above runs ~3 GB/s at
+# 100M-edge scale (spmm_bench.tsv) — every edge pays a row scatter-add into
+# the (N, F) accumulator.  The TPU-right shape is gather+REDUCE: group
+# nodes by padded degree (powers of two), gather each group's neighbor rows
+# as a dense (tasks, cap, F) slab, and sum over the cap axis — no per-edge
+# scatter exists; the only scatter left is ONE row add per TASK (~N rows
+# instead of E).  Hubs with deg > the largest cap split into multiple tasks
+# that accumulate into the same output row.
+
+
+def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26):
+    """Host-side planning: bucket (node, start, len<=cap) tasks by padded
+    degree.  Returns a list of per-bucket dicts with device-ready arrays;
+    build once per graph, reuse for every layer/epoch."""
+    import numpy as np
+
+    indptr = np.asarray(indptr)
+    deg = np.diff(indptr).astype(np.int64)
+    n = len(deg)
+    nodes_all, starts_all, lens_all = [], [], []
+    # split hubs into cap-sized segments
+    nseg = -(-np.maximum(deg, 1) // max_cap)
+    for s in range(int(nseg.max())):
+        sel = np.nonzero(nseg > s)[0]
+        off = s * max_cap
+        nodes_all.append(sel)
+        starts_all.append((indptr[sel] + off).astype(np.int64))
+        lens_all.append(np.minimum(deg[sel] - off, max_cap))
+    nodes = np.concatenate(nodes_all).astype(np.int32)
+    # edge positions: int32 everywhere else in the framework
+    # (indptr is int32) — same <2^31 edge-count envelope
+    starts = np.concatenate(starts_all).astype(np.int32)
+    lens = np.concatenate(lens_all).astype(np.int32)
+    keep = lens > 0
+    nodes, starts, lens = nodes[keep], starts[keep], lens[keep]
+
+    plan = []
+    cap = 1
+    while cap <= max_cap:
+        lo, hi = (cap >> 1) + 1 if cap > 1 else 1, cap
+        sel = np.nonzero((lens >= lo) & (lens <= hi))[0]
+        if len(sel):
+            plan.append({
+                "cap": int(cap),
+                "nodes": nodes[sel],
+                "starts": starts[sel],
+                "lens": lens[sel],
+            })
+        cap <<= 1
+    plan_meta = {"num_node": n, "slab_bytes": int(slab_bytes)}
+    return plan, plan_meta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "num_node", "mean_weight")
+)
+def _bucket_pass(
+    out, indices, h, nodes, starts, lens, inv_deg, *,
+    cap, chunk, num_node, mean_weight,
+):
+    """Sum each task's <=cap neighbor rows and add into its output row.
+    Tasks are padded to a chunk multiple with node == num_node (dropped)."""
+    nt = nodes.shape[0]
+    steps = nt // chunk
+
+    def body(out, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        nd, st, ln = sl(nodes), sl(starts), sl(lens)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        valid = j[None, :] < ln[:, None]
+        pos = jnp.where(valid, st[:, None] + j[None, :], 0)
+        nbr = jnp.take(indices, pos.reshape(-1), mode="clip").reshape(
+            chunk, cap
+        )
+        rows = jnp.take(h, nbr, axis=0, mode="clip")
+        rows = rows * valid[..., None].astype(h.dtype)
+        part = rows.sum(axis=1)
+        if mean_weight:
+            part = part * jnp.take(inv_deg, nd, mode="clip")[:, None]
+        return out.at[nd].add(part, mode="drop"), None
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(steps))
+    return out
+
+
+def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
+                     inv_deg=None):
+    """Degree-bucketed full-graph aggregation: ``out[v] = sum/mean over
+    neighbors u of h[u]`` using a :func:`build_spmm_plan` plan."""
+    import numpy as np
+
+    num_node = plan_meta["num_node"]
+    f = h.shape[1]
+    out = jnp.zeros((num_node, f), h.dtype)
+    if mean and inv_deg is None:
+        raise ValueError("mean=True needs inv_deg (1/deg, 0 for isolated)")
+    if inv_deg is None:
+        inv_deg = jnp.zeros((num_node,), h.dtype)
+    for b in plan:
+        cap = b["cap"]
+        chunk = max(int(plan_meta["slab_bytes"] // (cap * f * 4)), 8)
+        nt = len(b["nodes"])
+        padded = -(-nt // chunk) * chunk
+        pad = padded - nt
+        nodes = np.concatenate(
+            [b["nodes"], np.full(pad, num_node, np.int32)]
+        )
+        starts = np.concatenate([b["starts"], np.zeros(pad, np.int32)])
+        lens = np.concatenate([b["lens"], np.zeros(pad, np.int32)])
+        out = _bucket_pass(
+            out, indices, h, jnp.asarray(nodes), jnp.asarray(starts),
+            jnp.asarray(lens), inv_deg,
+            cap=cap, chunk=chunk, num_node=num_node, mean_weight=mean,
+        )
+    return out
