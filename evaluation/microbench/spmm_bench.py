@@ -117,6 +117,87 @@ def main():
         f"test_result:spmm_planned:ms={t_plan*1e3:.1f}:GBps={gbps_p:.1f}:"
         f"edges_per_s={e/t_plan/1e6:.1f}M"
     )
+
+    # variant: VMEM-sized slabs (4 MB) — if the (chunk, cap, F) slab was
+    # round-tripping HBM before the reduce, small slabs let XLA keep it
+    # on-chip
+    t_p4 = timeit(
+        lambda idx, x: spmm_csr_planned(
+            plan, {**meta, "slab_bytes": 1 << 22}, idx, x
+        ),
+        g.indices, h, iters=5,
+    )
+    print(
+        f"test_result:spmm_planned_4mb:ms={t_p4*1e3:.1f}:"
+        f"GBps={bytes_min/t_p4/1e9:.1f}"
+    )
+
+    # variant: unrolled per-pick accumulate (the models' fanout_reduce
+    # pattern, measured 114 GB/s at K=5) with hubs split at cap 64 — the
+    # (chunk, F) accumulator stays on-chip across the unrolled adds
+    plan64, meta64 = build_spmm_plan(indptr_host, max_cap=64)
+
+    import jax as _jax
+
+    def _bucket_unrolled(out, indices, h, nodes, starts, lens, cap, chunk):
+        steps = nodes.shape[0] // chunk
+
+        def body(out, i):
+            sl = lambda a: _jax.lax.dynamic_slice_in_dim(
+                a, i * chunk, chunk
+            )
+            nd, st, ln = sl(nodes), sl(starts), sl(lens)
+            acc = jnp.zeros((chunk, h.shape[1]), h.dtype)
+            for j in range(cap):
+                v = j < ln
+                nbr = jnp.take(
+                    indices, jnp.where(v, st + j, 0), mode="clip"
+                )
+                rows = jnp.take(h, nbr, axis=0, mode="clip")
+                acc = acc + rows * v[:, None].astype(h.dtype)
+            return out.at[nd].add(acc, mode="drop"), None
+
+        out, _ = _jax.lax.scan(body, out, jnp.arange(steps))
+        return out
+
+    bucket_jits = {}
+
+    def spmm_unrolled(idx, x):
+        out = jnp.zeros((n, x.shape[1]), x.dtype)
+        for b in plan64:
+            cap = b["cap"]
+            chunk = max((1 << 22) // (x.shape[1] * 4), 256)
+            nt = len(b["nodes"])
+            padded = -(-nt // chunk) * chunk
+            pad = padded - nt
+            nodes = np.concatenate(
+                [b["nodes"], np.full(pad, n, np.int32)]
+            )
+            starts = np.concatenate([b["starts"], np.zeros(pad, np.int32)])
+            lens = np.concatenate([b["lens"], np.zeros(pad, np.int32)])
+            key = (cap, padded // chunk)
+            if key not in bucket_jits:
+                bucket_jits[key] = _jax.jit(
+                    functools.partial(
+                        _bucket_unrolled, cap=cap, chunk=chunk
+                    )
+                )
+            out = bucket_jits[key](
+                out, idx, x, jnp.asarray(nodes), jnp.asarray(starts),
+                jnp.asarray(lens),
+            )
+        return out
+
+    t_unr = timeit(spmm_unrolled, g.indices, h, iters=5)
+    print(
+        f"test_result:spmm_unrolled64:ms={t_unr*1e3:.1f}:"
+        f"GBps={bytes_min/t_unr/1e9:.1f}:edges_per_s={e/t_unr/1e6:.1f}M"
+    )
+    if not args.small:
+        ref = spmm(g.indptr, g.indices, h)
+        got = spmm_unrolled(g.indices, h)
+        err = float(jnp.max(jnp.abs(ref - got)))
+        print(f"test_result:spmm_unrolled64_maxerr={err:.2e}")
     gbps = bytes_min / t_spmm / 1e9
     eps = e / t_spmm
 
