@@ -241,9 +241,13 @@ def _bucket_pass(
         j = jnp.arange(cap, dtype=jnp.int32)
         valid = j[None, :] < ln[:, None]
         pos = jnp.where(valid, st[:, None] + j[None, :], 0)
-        nbr = jnp.take(indices, pos.reshape(-1), mode="clip").reshape(
-            chunk, cap
-        )
+        # tiled element gather: a plain take of scattered int32 positions
+        # is transaction-bound (~80M elem/s — 1.5 s just to READ the
+        # neighbor ids at 100M-edge scale); take_1d fetches lane tiles at
+        # row-gather bandwidth (ops/tiled.py)
+        from .tiled import take_1d
+
+        nbr = take_1d(indices, pos)
         rows = jnp.take(h, nbr, axis=0, mode="clip")
         rows = rows * valid[..., None].astype(h.dtype)
         part = rows.sum(axis=1)
