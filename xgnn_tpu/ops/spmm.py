@@ -248,8 +248,10 @@ def _bucket_pass(
         from .tiled import take_1d
 
         nbr = take_1d(indices, pos)
+        # invalid picks gather the appended zero row — no full-slab mask
+        # multiply pass
+        nbr = jnp.where(valid, nbr, h.shape[0] - 1)
         rows = jnp.take(h, nbr, axis=0, mode="clip")
-        rows = rows * valid[..., None].astype(h.dtype)
         part = rows.sum(axis=1)
         if mean_weight:
             part = part * jnp.take(inv_deg, nd, mode="clip")[:, None]
@@ -267,6 +269,8 @@ def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
 
     num_node = plan_meta["num_node"]
     f = h.shape[1]
+    h = jnp.concatenate([h, jnp.zeros((1, f), h.dtype)])  # zero row for
+    # masked picks (one 512B append instead of a mask pass per slab)
     out = jnp.zeros((num_node, f), h.dtype)
     if mean and inv_deg is None:
         raise ValueError("mean=True needs inv_deg (1/deg, 0 for isolated)")
