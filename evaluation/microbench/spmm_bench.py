@@ -212,6 +212,17 @@ def main():
     )
     gat_eps = e / t_gat
 
+    from xgnn_tpu.ops.spmm import gat_aggregate_planned
+
+    t_gatp = timeit(
+        lambda idx, x, a, b: gat_aggregate_planned(plan, meta, idx, x, a, b),
+        g.indices, feat3, el, er, iters=5,
+    )
+    print(
+        f"test_result:sddmm_gat_planned:ms={t_gatp*1e3:.1f}:"
+        f"edges_per_s={e/t_gatp/1e6:.1f}M"
+    )
+
     mode = "cpu" if args.small else "tpu"
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "spmm_bench.tsv"

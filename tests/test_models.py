@@ -385,3 +385,42 @@ def test_spmm_planned_matches_edge_scatter():
         np.testing.assert_allclose(
             np.asarray(gotm), np.asarray(refm), rtol=2e-5, atol=2e-5
         )
+
+
+def test_gat_aggregate_planned_matches_edge_scatter():
+    """Bucketed two-pass segment softmax == edge-scatter gat_aggregate_csr,
+    incl. hub splitting (cross-task max/sum must stay exact) and multi-head."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu import synthetic
+    from xgnn_tpu.ops.spmm import (
+        build_spmm_plan,
+        gat_aggregate_csr,
+        gat_aggregate_planned,
+    )
+
+    ds = synthetic.make_synthetic_dataset(
+        num_node=1200, avg_degree=9, feat_dim=16, num_class=4, seed=3
+    )
+    rng = np.random.default_rng(0)
+    for heads, d in ((1, 16), (4, 8)):
+        feat = rng.standard_normal(
+            (ds.num_node, heads, d)
+        ).astype(np.float32)
+        el = rng.standard_normal((ds.num_node, heads)).astype(np.float32)
+        er = rng.standard_normal((ds.num_node, heads)).astype(np.float32)
+        ref = gat_aggregate_csr(
+            jnp.asarray(ds.indptr), jnp.asarray(ds.indices),
+            jnp.asarray(feat), jnp.asarray(el), jnp.asarray(er),
+            num_node=ds.num_node,
+        )
+        for cap in (8, 2048):
+            plan, meta = build_spmm_plan(ds.indptr, max_cap=cap)
+            got = gat_aggregate_planned(
+                plan, meta, jnp.asarray(ds.indices), jnp.asarray(feat),
+                jnp.asarray(el), jnp.asarray(er),
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
+            )

@@ -38,16 +38,20 @@ def _infer_layer_gcn(params, indptr, indices, h, num_node, chunk, agg):
     return out * inv_sqrt[:, None] + params["bias"]
 
 
-def _infer_layer_gat(params, indptr, indices, h, num_node, chunk, heads, agg=None):
+def _infer_layer_gat(params, indptr, indices, h, num_node, chunk, heads,
+                     gat_agg=None):
     """Exact full-neighbor GAT layer (DGL GATConv semantics)."""
     w = params["kernel"].reshape(params["kernel"].shape[0], -1)  # (F, H*D)
     d = w.shape[1] // heads
     feat = (h @ w).reshape(num_node, heads, d)
     el = jnp.sum(feat * params["attn_l"], axis=-1)
     er = jnp.sum(feat * params["attn_r"], axis=-1)
-    out = gat_aggregate_csr(
-        indptr, indices, feat, el, er, num_node=num_node, chunk=chunk
-    )
+    if gat_agg is not None:  # degree-bucketed two-pass segment softmax
+        out = gat_agg(feat, el, er)
+    else:
+        out = gat_aggregate_csr(
+            indptr, indices, feat, el, er, num_node=num_node, chunk=chunk
+        )
     return out.reshape(num_node, heads * d)
 
 
@@ -90,6 +94,11 @@ def full_graph_inference(
             plan, plan_meta, indices, x, mean=mean, inv_deg=inv_deg
         )
 
+    from .ops.spmm import gat_aggregate_planned
+
+    def gat_agg(feat, el, er):
+        return gat_aggregate_planned(plan, plan_meta, indices, feat, el, er)
+
     layer_fns = {
         "graphsage": _infer_layer_sage,
         "pinsage": _infer_layer_sage,  # uniform weights at eval
@@ -102,7 +111,8 @@ def full_graph_inference(
         layer_params = params[_layer_key(model, i)]
         if model.conv == "gat":
             heads = 1 if i == model.num_layers - 1 else model.num_heads
-            h = fn(layer_params, indptr, indices, h, num_node, chunk, heads)
+            h = fn(layer_params, indptr, indices, h, num_node, chunk,
+                   heads, gat_agg=gat_agg)
         else:
             h = fn(layer_params, indptr, indices, h, num_node, chunk, agg)
         if i != model.num_layers - 1:

@@ -278,8 +278,12 @@ def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
         inv_deg = jnp.zeros((num_node,), h.dtype)
     for b in plan:
         cap = b["cap"]
-        chunk = max(int(plan_meta["slab_bytes"] // (cap * f * 4)), 8)
         nt = len(b["nodes"])
+        chunk = max(int(plan_meta["slab_bytes"] // (cap * f * 4)), 8)
+        # never pad a small bucket to a giant chunk: cap the chunk at the
+        # bucket's next power of two (padding waste <= 2x)
+        import math
+        chunk = min(chunk, 1 << max(int(math.ceil(math.log2(max(nt, 8)))), 3))
         padded = -(-nt // chunk) * chunk
         pad = padded - nt
         nodes = np.concatenate(
@@ -293,3 +297,129 @@ def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
             cap=cap, chunk=chunk, num_node=num_node, mean_weight=mean,
         )
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "negative_slope")
+)
+def _gat_pass_max(m, indices, el, er, nodes, starts, lens, *,
+                  cap, chunk, negative_slope):
+    """Pass A of the bucketed segment softmax: per-node running max of
+    leaky_relu(el[v] + er[u]).  ``er`` carries an appended -inf row so
+    masked slots never win the max; padding tasks scatter-drop."""
+    from .tiled import take_1d
+
+    steps = nodes.shape[0] // chunk
+
+    def body(m, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        nd, st, ln = sl(nodes), sl(starts), sl(lens)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        valid = j[None, :] < ln[:, None]
+        pos = jnp.where(valid, st[:, None] + j[None, :], 0)
+        nbr = jnp.where(valid, take_1d(indices, pos), er.shape[0] - 1)
+        e = jax.nn.leaky_relu(
+            jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
+            + jnp.take(er, nbr, axis=0, mode="clip"),
+            negative_slope=negative_slope,
+        )  # (chunk, cap, H)
+        return m.at[nd].max(e.max(axis=1), mode="drop"), None
+
+    m, _ = jax.lax.scan(body, m, jnp.arange(steps))
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "negative_slope")
+)
+def _gat_pass_sum(carry, indices, feat, el, er, m, nodes, starts, lens, *,
+                  cap, chunk, negative_slope):
+    """Pass B: accumulate exp(e - m[v]) weights and weighted features.
+    ``feat``/``er`` carry appended zero/-inf rows so masked slots
+    contribute exactly zero."""
+    from .tiled import take_1d
+
+    steps = nodes.shape[0] // chunk
+
+    def body(carry, i):
+        s_num, s_den = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        nd, st, ln = sl(nodes), sl(starts), sl(lens)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        valid = j[None, :] < ln[:, None]
+        pos = jnp.where(valid, st[:, None] + j[None, :], 0)
+        nbr = jnp.where(valid, take_1d(indices, pos), er.shape[0] - 1)
+        e = jax.nn.leaky_relu(
+            jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
+            + jnp.take(er, nbr, axis=0, mode="clip"),
+            negative_slope=negative_slope,
+        )
+        w = jnp.exp(e - jnp.take(m, nd, axis=0, mode="clip")[:, None, :])
+        fv = jnp.take(feat, nbr, axis=0, mode="clip")  # (chunk, cap, H, D)
+        s_num = s_num.at[nd].add(
+            jnp.sum(fv * w[..., None], axis=1), mode="drop"
+        )
+        s_den = s_den.at[nd].add(w.sum(axis=1), mode="drop")
+        return (s_num, s_den), None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(steps))
+    return carry
+
+
+def gat_aggregate_planned(
+    plan, plan_meta, indices, feat, el, er, *, negative_slope: float = 0.2
+):
+    """Degree-bucketed full-graph GAT aggregation (SDDMM + exact segment
+    softmax + weighted SpMM) — the planned analog of
+    :func:`gat_aggregate_csr`, whose per-edge scatters run ~2.4M edges/s at
+    products scale (spmm_bench.tsv).  Two passes: per-node max, then
+    exp-sum; hub nodes split across tasks stay EXACT because both passes
+    accumulate through the per-node scatter (max / add)."""
+    import numpy as np
+
+    num_node = plan_meta["num_node"]
+    n, heads, d = feat.shape
+    NEG = jnp.asarray(-1e30, feat.dtype)
+    er_x = jnp.concatenate([er, jnp.full((1, heads), NEG, er.dtype)])
+    feat_x = jnp.concatenate([feat, jnp.zeros((1, heads, d), feat.dtype)])
+    m = jnp.full((num_node, heads), NEG, feat.dtype)
+
+    def padded(b, chunk):
+        nt = len(b["nodes"])
+        p = -(-nt // chunk) * chunk - nt
+        return (
+            jnp.asarray(np.concatenate(
+                [b["nodes"], np.full(p, num_node, np.int32)]
+            )),
+            jnp.asarray(np.concatenate([b["starts"], np.zeros(p, np.int32)])),
+            jnp.asarray(np.concatenate([b["lens"], np.zeros(p, np.int32)])),
+        )
+
+    import math
+
+    chunks = {}
+    for b in plan:
+        cap = b["cap"]
+        nt = len(b["nodes"])
+        chunk = max(
+            int(plan_meta["slab_bytes"] // (cap * max(heads * d, 1) * 4)), 8
+        )
+        chunk = min(chunk, 1 << max(int(math.ceil(math.log2(max(nt, 8)))), 3))
+        chunks[id(b)] = chunk
+        nodes, starts, lens = padded(b, chunk)
+        m = _gat_pass_max(
+            m, indices, el, er_x, nodes, starts, lens,
+            cap=cap, chunk=chunk, negative_slope=negative_slope,
+        )
+    s_num = jnp.zeros((num_node, heads, d), feat.dtype)
+    s_den = jnp.zeros((num_node, heads), feat.dtype)
+    for b in plan:
+        cap = b["cap"]
+        chunk = chunks[id(b)]
+        nodes, starts, lens = padded(b, chunk)
+        s_num, s_den = _gat_pass_sum(
+            (s_num, s_den), indices, feat_x, el, er_x, m,
+            nodes, starts, lens,
+            cap=cap, chunk=chunk, negative_slope=negative_slope,
+        )
+    return s_num / jnp.maximum(s_den, 1e-9)[..., None]
