@@ -223,6 +223,38 @@ def main():
         f"edges_per_s={e/t_gatp/1e6:.1f}M"
     )
 
+    # control: PURE random-row gather+reduce at edge scale (no buckets, no
+    # CSR) — separates "XLA gather issue rate at 100M+ rows" from any
+    # bucketing overhead
+    for nrows in ((1 << 22), e):
+        pchunk = min(1 << 20, nrows)
+        nfit = (nrows // pchunk) * pchunk
+        if nfit == 0:
+            continue
+        ids = jax.random.randint(
+            jax.random.key(7), (nrows,), 0, n, jnp.int32
+        )
+
+        @jax.jit
+        def pure_gather(ids, h):
+            chunk = pchunk
+            steps = ids.shape[0] // chunk
+
+            def body(acc, i):
+                sl = jax.lax.dynamic_slice_in_dim(ids, i * chunk, chunk)
+                return acc + jnp.take(h, sl, axis=0, mode="clip").sum(0), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((h.shape[1],), h.dtype), jnp.arange(steps)
+            )
+            return acc
+
+        t_pg = timeit(pure_gather, ids[:nfit], h, iters=5)
+        print(
+            f"test_result:pure_gather:rows={nfit}:ms={t_pg*1e3:.1f}:"
+            f"GBps={nfit*(f*4+4)/t_pg/1e9:.1f}"
+        )
+
     mode = "cpu" if args.small else "tpu"
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "spmm_bench.tsv"
