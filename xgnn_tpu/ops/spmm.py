@@ -240,14 +240,13 @@ def _bucket_pass(
         nd, st, ln = sl(nodes), sl(starts), sl(lens)
         j = jnp.arange(cap, dtype=jnp.int32)
         valid = j[None, :] < ln[:, None]
-        pos = jnp.where(valid, st[:, None] + j[None, :], 0)
-        # tiled element gather: a plain take of scattered int32 positions
-        # is transaction-bound (~80M elem/s — 1.5 s just to READ the
-        # neighbor ids at 100M-edge scale); take_1d fetches lane tiles at
-        # row-gather bandwidth (ops/tiled.py)
-        from .tiled import take_1d
+        # each task's neighbor ids are one CONTIGUOUS CSR run: fetch the
+        # covering tiles once per task and select lanes locally
+        # (take_1d would fetch a full 512 B tile per EDGE — doubling the
+        # kernel's HBM traffic; measured in spmm_bench.tsv)
+        from .tiled import take_runs
 
-        nbr = take_1d(indices, pos)
+        nbr = take_runs(indices, st, cap)
         # invalid picks gather the appended zero row — no full-slab mask
         # multiply pass
         nbr = jnp.where(valid, nbr, h.shape[0] - 1)
@@ -307,7 +306,7 @@ def _gat_pass_max(m, indices, el, er, nodes, starts, lens, *,
     """Pass A of the bucketed segment softmax: per-node running max of
     leaky_relu(el[v] + er[u]).  ``er`` carries an appended -inf row so
     masked slots never win the max; padding tasks scatter-drop."""
-    from .tiled import take_1d
+    from .tiled import take_runs
 
     steps = nodes.shape[0] // chunk
 
@@ -316,8 +315,9 @@ def _gat_pass_max(m, indices, el, er, nodes, starts, lens, *,
         nd, st, ln = sl(nodes), sl(starts), sl(lens)
         j = jnp.arange(cap, dtype=jnp.int32)
         valid = j[None, :] < ln[:, None]
-        pos = jnp.where(valid, st[:, None] + j[None, :], 0)
-        nbr = jnp.where(valid, take_1d(indices, pos), er.shape[0] - 1)
+        nbr = jnp.where(
+            valid, take_runs(indices, st, cap), er.shape[0] - 1
+        )
         e = jax.nn.leaky_relu(
             jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
             + jnp.take(er, nbr, axis=0, mode="clip"),
@@ -337,7 +337,7 @@ def _gat_pass_sum(carry, indices, feat, el, er, m, nodes, starts, lens, *,
     """Pass B: accumulate exp(e - m[v]) weights and weighted features.
     ``feat``/``er`` carry appended zero/-inf rows so masked slots
     contribute exactly zero."""
-    from .tiled import take_1d
+    from .tiled import take_runs
 
     steps = nodes.shape[0] // chunk
 
@@ -347,8 +347,9 @@ def _gat_pass_sum(carry, indices, feat, el, er, m, nodes, starts, lens, *,
         nd, st, ln = sl(nodes), sl(starts), sl(lens)
         j = jnp.arange(cap, dtype=jnp.int32)
         valid = j[None, :] < ln[:, None]
-        pos = jnp.where(valid, st[:, None] + j[None, :], 0)
-        nbr = jnp.where(valid, take_1d(indices, pos), er.shape[0] - 1)
+        nbr = jnp.where(
+            valid, take_runs(indices, st, cap), er.shape[0] - 1
+        )
         e = jax.nn.leaky_relu(
             jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
             + jnp.take(er, nbr, axis=0, mode="clip"),

@@ -50,3 +50,33 @@ def take_1d(arr: jax.Array, pos) -> jax.Array:
     )
     out = jnp.sum(jnp.where(lane, rows, 0), axis=1, dtype=arr.dtype)
     return out.reshape(shape)
+
+
+def take_runs(arr: jax.Array, starts: jax.Array, cap: int) -> jax.Array:
+    """Gather CONTIGUOUS runs ``arr[starts[i] : starts[i] + cap]`` from a
+    TILE-padded 1-D array — ``(n, cap)`` out.
+
+    :func:`take_1d` fetches one full tile per POSITION (512 B to read a
+    4-byte element) — right for scattered positions, 128x wasteful for
+    runs.  A run of ``cap`` consecutive positions lies in
+    ``cap//TILE + 1`` tiles: fetch those tile rows once per run and select
+    each position's lane locally (``take_along_axis`` over the fetched
+    lanes — on-chip shuffle, no extra HBM traffic).
+    """
+    n = starts.shape[0]
+    if arr.shape[0] % TILE:
+        arr = pad_tile(arr)
+    tiled = arr.reshape(-1, TILE)
+    # a run of cap elements starting at lane offset <=TILE-1 spans at
+    # most (cap-1)//TILE + 2 tiles
+    t = (cap - 1) // TILE + 2
+    trow = starts // TILE
+    rows = tiled[
+        jnp.minimum(
+            trow[:, None] + jnp.arange(t, dtype=starts.dtype)[None, :],
+            tiled.shape[0] - 1,
+        )
+    ]  # (n, t, TILE)
+    flat = rows.reshape(n, t * TILE)
+    off = (starts % TILE)[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    return jnp.take_along_axis(flat, off, axis=1)
