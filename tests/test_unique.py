@@ -180,3 +180,22 @@ def test_compact_mask_positions_matches_argsort():
         lim = min(k, cap)
         np.testing.assert_array_equal(got[:lim], want[:lim])
         assert (got[lim:] == n).all()
+
+
+def test_take_runs_matches_slices():
+    """take_runs (covering-tile fetch + local lane select) == direct
+    slicing, across caps that stay inside one tile, exactly fill tiles,
+    and straddle tile boundaries."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu.ops.tiled import pad_tile, take_runs
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 10_000, 5000).astype(np.int32)
+    ap = jnp.asarray(pad_tile(arr))
+    for cap in (1, 7, 127, 128, 129, 300):
+        starts = rng.integers(0, 5000 - cap, 200).astype(np.int32)
+        got = np.asarray(take_runs(ap, jnp.asarray(starts), cap))
+        want = np.stack([arr[s:s + cap] for s in starts])
+        np.testing.assert_array_equal(got, want)
