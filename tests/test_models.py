@@ -424,3 +424,75 @@ def test_gat_aggregate_planned_matches_edge_scatter():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
             )
+
+
+def test_spmm_planned_src_block_tiling_matches():
+    """Source-blocked plan (adjacency sorted per node, runs split at
+    src-block boundaries, tasks block-major) == unblocked plan == edge
+    scatter — sum, mean, and the GAT two-pass softmax.  Exercises tiny
+    blocks (every run splits) and hub splitting on top of block splits."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu import synthetic
+    from xgnn_tpu.ops.spmm import (
+        build_spmm_plan,
+        gat_aggregate_csr,
+        gat_aggregate_planned,
+        spmm_csr,
+        spmm_csr_planned,
+    )
+
+    ds = synthetic.make_synthetic_dataset(
+        num_node=1500, avg_degree=9, feat_dim=24, num_class=4, seed=1
+    )
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal((ds.num_node, 24)).astype(np.float32)
+    ref = spmm_csr(
+        jnp.asarray(ds.indptr), jnp.asarray(ds.indices), jnp.asarray(h),
+        num_node=ds.num_node,
+    )
+    deg = np.diff(ds.indptr)
+    inv = jnp.asarray(
+        np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0).astype(np.float32)
+    )
+    refm = spmm_csr(
+        jnp.asarray(ds.indptr), jnp.asarray(ds.indices), jnp.asarray(h),
+        num_node=ds.num_node, mean=True,
+    )
+    for blk, cap in ((64, 8), (64, 2048), (500, 2048)):
+        plan, meta = build_spmm_plan(
+            ds.indptr, max_cap=cap, indices=ds.indices, src_block=blk
+        )
+        idx = jnp.asarray(meta["indices"])
+        # the reordered edges are a per-node permutation of the originals
+        assert meta["indices"].shape[0] == ds.indices.shape[0]
+        got = spmm_csr_planned(plan, meta, idx, jnp.asarray(h))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        gotm = spmm_csr_planned(
+            plan, meta, idx, jnp.asarray(h), mean=True, inv_deg=inv
+        )
+        np.testing.assert_allclose(
+            np.asarray(gotm), np.asarray(refm), rtol=2e-5, atol=2e-5
+        )
+
+    feat = rng.standard_normal((ds.num_node, 2, 12)).astype(np.float32)
+    el = rng.standard_normal((ds.num_node, 2)).astype(np.float32)
+    er = rng.standard_normal((ds.num_node, 2)).astype(np.float32)
+    gref = gat_aggregate_csr(
+        jnp.asarray(ds.indptr), jnp.asarray(ds.indices),
+        jnp.asarray(feat), jnp.asarray(el), jnp.asarray(er),
+        num_node=ds.num_node,
+    )
+    plan, meta = build_spmm_plan(
+        ds.indptr, max_cap=16, indices=ds.indices, src_block=200
+    )
+    got = gat_aggregate_planned(
+        plan, meta, jnp.asarray(meta["indices"]), jnp.asarray(feat),
+        jnp.asarray(el), jnp.asarray(er),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(gref), rtol=3e-5, atol=3e-5
+    )

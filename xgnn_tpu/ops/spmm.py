@@ -180,31 +180,79 @@ def gat_aggregate_csr(
 # that accumulate into the same output row.
 
 
-def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26):
+def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26,
+                    indices=None, src_block: int = 0):
     """Host-side planning: bucket (node, start, len<=cap) tasks by padded
     degree.  Returns a list of per-bucket dicts with device-ready arrays;
-    build once per graph, reuse for every layer/epoch."""
+    build once per graph, reuse for every layer/epoch.
+
+    ``src_block > 0`` (needs ``indices``) additionally TILES the gather by
+    source-id range: adjacency is sorted within each node's run (sum /
+    segment-softmax aggregation is order-invariant), each run splits into
+    one contiguous subrun per ``src_block``-row source block, and tasks are
+    ordered block-major within every bucket — so each scan chunk's h-row
+    gathers land in one ~``src_block*F*4``-byte window instead of sweeping
+    the full table (HBM locality; measured in gather_locality_bench.tsv).
+    The reordered edge array comes back as ``plan_meta["indices"]`` — pass
+    THAT to the planned kernels instead of the original."""
     import numpy as np
 
     indptr = np.asarray(indptr)
     deg = np.diff(indptr).astype(np.int64)
     n = len(deg)
-    nodes_all, starts_all, lens_all = [], [], []
-    # split hubs into cap-sized segments
-    nseg = -(-np.maximum(deg, 1) // max_cap)
-    for s in range(int(nseg.max())):
-        sel = np.nonzero(nseg > s)[0]
-        off = s * max_cap
-        nodes_all.append(sel)
-        starts_all.append((indptr[sel] + off).astype(np.int64))
-        lens_all.append(np.minimum(deg[sel] - off, max_cap))
-    nodes = np.concatenate(nodes_all).astype(np.int32)
-    # edge positions: int32 everywhere else in the framework
-    # (indptr is int32) — same <2^31 edge-count envelope
-    starts = np.concatenate(starts_all).astype(np.int32)
-    lens = np.concatenate(lens_all).astype(np.int32)
-    keep = lens > 0
-    nodes, starts, lens = nodes[keep], starts[keep], lens[keep]
+    idx_out = None
+    if src_block:
+        if indices is None:
+            raise ValueError("src_block tiling needs the indices array")
+        num_edge = int(indptr[-1])
+        idx = np.asarray(indices)[:num_edge].astype(np.int64)
+        v = np.repeat(np.arange(n, dtype=np.int64), deg)
+        order = np.argsort(v * n + idx, kind="stable")
+        idx_sorted = idx[order]
+        blk = (idx_sorted // src_block).astype(np.int32)
+        # subrun boundaries: node change (CSR runs stay contiguous under
+        # the within-run sort) or block change
+        change = np.empty(num_edge, bool)
+        change[0] = True
+        change[1:] = (v[order][1:] != v[order][:-1]) | (blk[1:] != blk[:-1])
+        t_start = np.nonzero(change)[0]
+        t_len = np.diff(np.append(t_start, num_edge))
+        t_node = v[order][t_start]
+        t_blk = blk[t_start]
+        # split subruns longer than max_cap
+        nseg = -(-t_len // max_cap)
+        reps = nseg.astype(np.int64)
+        nodes = np.repeat(t_node, reps).astype(np.int32)
+        blks = np.repeat(t_blk, reps)
+        base = np.repeat(t_start, reps)
+        within = np.arange(reps.sum()) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        starts = (base + within * max_cap).astype(np.int32)
+        lens = np.minimum(
+            np.repeat(t_len, reps) - within * max_cap, max_cap
+        ).astype(np.int32)
+        # block-major task order (stable: nodes stay grouped within block)
+        bo = np.argsort(blks, kind="stable")
+        nodes, starts, lens = nodes[bo], starts[bo], lens[bo]
+        idx_out = idx_sorted.astype(np.asarray(indices).dtype)
+    else:
+        nodes_all, starts_all, lens_all = [], [], []
+        # split hubs into cap-sized segments
+        nseg = -(-np.maximum(deg, 1) // max_cap)
+        for s in range(int(nseg.max())):
+            sel = np.nonzero(nseg > s)[0]
+            off = s * max_cap
+            nodes_all.append(sel)
+            starts_all.append((indptr[sel] + off).astype(np.int64))
+            lens_all.append(np.minimum(deg[sel] - off, max_cap))
+        nodes = np.concatenate(nodes_all).astype(np.int32)
+        # edge positions: int32 everywhere else in the framework
+        # (indptr is int32) — same <2^31 edge-count envelope
+        starts = np.concatenate(starts_all).astype(np.int32)
+        lens = np.concatenate(lens_all).astype(np.int32)
+        keep = lens > 0
+        nodes, starts, lens = nodes[keep], starts[keep], lens[keep]
 
     plan = []
     cap = 1
@@ -220,6 +268,8 @@ def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26):
             })
         cap <<= 1
     plan_meta = {"num_node": n, "slab_bytes": int(slab_bytes)}
+    if idx_out is not None:
+        plan_meta["indices"] = idx_out  # block-sorted edges; upload and use
     return plan, plan_meta
 
 
