@@ -41,21 +41,39 @@ def main():
     ids_np = rng.integers(0, n, b).astype(np.int32)
     bytes_read = b * f * 4  # reducing to (1, F) on-chip: reads dominate
 
-    gather_reduce = jax.jit(
-        lambda ft, i: jnp.take(ft, i, axis=0, mode="clip").sum(axis=0)
-    )
+    # scan over 1M-id chunks — the single flat 4M-row take hangs the remote
+    # AOT compiler (>570 s); the chunked form matches the spmm_bench control
+    chunk = 1 << 20
+
+    @jax.jit
+    def gather_reduce(ft, ids):
+        steps = ids.shape[0] // chunk
+
+        def body(acc, i):
+            sl = jax.lax.dynamic_slice_in_dim(ids, i * chunk, chunk)
+            return acc + jnp.take(ft, sl, axis=0, mode="clip").sum(0), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((ft.shape[1],), ft.dtype), jnp.arange(steps)
+        )
+        return acc
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "gather_locality_bench.tsv")
-    new = not os.path.exists(out)
-    rows = []
+    if not os.path.exists(out):
+        with open(out, "a") as fh:
+            fh.write("case\tms\tGBps\n")
 
     def rec(name, ids):
         t = timeit(gather_reduce, feat, jnp.asarray(ids), iters=5)
         gbps = bytes_read / t / 1e9
-        line = f"{name}\t{t*1e3:.1f}\t{gbps:.1f}"
-        print(f"test_result:gather_locality:{name}:ms={t*1e3:.1f}:GBps={gbps:.1f}")
-        rows.append(line)
+        print(
+            f"test_result:gather_locality:{name}:ms={t*1e3:.1f}:"
+            f"GBps={gbps:.1f}",
+            flush=True,
+        )
+        with open(out, "a") as fh:  # append per case: partial runs survive
+            fh.write(f"{name}\t{t*1e3:.1f}\t{gbps:.1f}\n")
 
     rec("full_random", ids_np)
     for w in (65_536, 262_144, 1_048_576):
@@ -63,11 +81,6 @@ def main():
         blk = np.argsort(ids_np // w, kind="stable")
         rec(f"blocksorted_{w}", ids_np[blk])
     rec("sorted", np.sort(ids_np))
-
-    with open(out, "a") as fh:
-        if new:
-            fh.write("case\tms\tGBps\n")
-        fh.write("\n".join(rows) + "\n")
 
 
 if __name__ == "__main__":
