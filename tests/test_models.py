@@ -496,3 +496,34 @@ def test_spmm_planned_src_block_tiling_matches():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(gref), rtol=3e-5, atol=3e-5
     )
+
+
+def test_spmm_planned_fine_buckets_matches():
+    """fine_buckets=True (3*2^k midpoint caps) == pow2 plan == edge scatter;
+    also covers a non-pow2 max_cap top bucket."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgnn_tpu import synthetic
+    from xgnn_tpu.ops.spmm import build_spmm_plan, spmm_csr, spmm_csr_planned
+
+    ds = synthetic.make_synthetic_dataset(
+        num_node=1500, avg_degree=9, feat_dim=24, num_class=4, seed=1
+    )
+    h = np.random.default_rng(0).standard_normal(
+        (ds.num_node, 24)
+    ).astype(np.float32)
+    ref = spmm_csr(
+        jnp.asarray(ds.indptr), jnp.asarray(ds.indices), jnp.asarray(h),
+        num_node=ds.num_node,
+    )
+    for cap in (7, 12, 2048):
+        plan, meta = build_spmm_plan(ds.indptr, max_cap=cap,
+                                     fine_buckets=True)
+        assert sum(len(b["lens"]) for b in plan) >= ds.num_node - 1
+        got = spmm_csr_planned(
+            plan, meta, jnp.asarray(ds.indices), jnp.asarray(h)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

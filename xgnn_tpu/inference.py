@@ -81,7 +81,11 @@ def full_graph_inference(
     from .ops.spmm import build_spmm_plan, spmm_csr_planned
 
     indptr_host = np.asarray(indptr)[: num_node + 1]
-    plan, plan_meta = build_spmm_plan(indptr_host)
+    # fine_buckets: 3*2^k midpoint caps lift slab fill 0.70 -> 0.84 and the
+    # transaction-bound gather 16.4 -> 20.6 GB/s at products scale (PERF.md
+    # round-3 fine-bucket A/B); ~2x bucket compiles, amortized by the
+    # persistent compile cache
+    plan, plan_meta = build_spmm_plan(indptr_host, fine_buckets=True)
     deg_h = np.diff(indptr_host)
     inv_deg = jnp.asarray(
         np.where(deg_h > 0, 1.0 / np.maximum(deg_h, 1), 0.0).astype(

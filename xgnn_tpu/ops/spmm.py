@@ -181,7 +181,8 @@ def gat_aggregate_csr(
 
 
 def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26,
-                    indices=None, src_block: int = 0):
+                    indices=None, src_block: int = 0,
+                    fine_buckets: bool = False):
     """Host-side planning: bucket (node, start, len<=cap) tasks by padded
     degree.  Returns a list of per-bucket dicts with device-ready arrays;
     build once per graph, reuse for every layer/epoch.
@@ -255,9 +256,27 @@ def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26,
         nodes, starts, lens = nodes[keep], starts[keep], lens[keep]
 
     plan = []
-    cap = 1
-    while cap <= max_cap:
-        lo, hi = (cap >> 1) + 1 if cap > 1 else 1, cap
+    if fine_buckets:
+        # pow2 caps pad tasks to avg fill 0.75 — and the h-row gather is
+        # TRANSACTION-bound (gather_locality_bench.tsv), so every padded
+        # slot costs a real transaction on the appended zero row.  Adding
+        # the 3*2^k midpoints lifts avg fill to ~0.87 at the price of ~2x
+        # the bucket compilations.
+        caps_list = sorted(
+            c
+            for c in {1 << k for k in range(21)}
+            | {3 << k for k in range(20)}
+            | {max_cap}
+            if c <= max_cap
+        )
+    else:
+        caps_list = sorted(
+            {1 << k for k in range(21) if (1 << k) <= max_cap} | {max_cap}
+        )
+    prev = 0
+    for cap in caps_list:
+        lo, hi = prev + 1, cap
+        prev = cap
         sel = np.nonzero((lens >= lo) & (lens <= hi))[0]
         if len(sel):
             plan.append({
@@ -266,7 +285,6 @@ def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26,
                 "starts": starts[sel],
                 "lens": lens[sel],
             })
-        cap <<= 1
     plan_meta = {"num_node": n, "slab_bytes": int(slab_bytes)}
     if idx_out is not None:
         plan_meta["indices"] = idx_out  # block-sorted edges; upload and use
