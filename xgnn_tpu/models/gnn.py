@@ -83,10 +83,10 @@ def _take_dst(block: Block, h_src: jax.Array) -> jax.Array:
     gather by global id (direct-extract blocks, ``Block.dst_ids``)."""
     if block.dst_ids is None:
         return h_src[: block.dst_cap]
-    ids = block.dst_ids
-    safe = jnp.where(ids != C.EMPTY_KEY, ids, 0)
-    rows = jnp.take(h_src, safe, axis=0, mode="clip")
-    return rows * (ids != C.EMPTY_KEY)[:, None].astype(rows.dtype)
+    # EMPTY (int32 max) is out of range for any real table: a fill-mode
+    # gather zero-fills those rows directly — no separate (dst_cap, F)
+    # validity-mask multiply pass
+    return jnp.take(h_src, block.dst_ids, axis=0, mode="fill", fill_value=0)
 
 
 class SAGEConv(nn.Module):

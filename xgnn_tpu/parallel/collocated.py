@@ -38,11 +38,39 @@ from ..config import RunConfig
 from ..sampler import _sample_minibatch, _layer_fanouts
 from ..train import TrainState, loss_fn, make_optimizer
 from ..types import Block, SampledBatch
-from .exchange import partitioned_gather, plan_exchange
+from .exchange import (
+    partitioned_gather,
+    partitioned_gather_indirect,
+    plan_exchange,
+)
 from .ggms import cache_split, combine_miss
 from .mesh import DATA_AXIS
 
 EMPTY = C.EMPTY_KEY
+
+
+def _block0_via_picks(block: Block, pick: jax.Array, input_nodes: jax.Array):
+    """Rewrite the INPUT layer's block to direct-extract form against the raw
+    exchange response buffer.
+
+    ``neigh``/dst indices compose through ``pick`` (request order →
+    linearized (owner, rank) slot), so the model's layer-0 gathers read the
+    ``(P*seg, F)`` response directly — the request-order ``(cap, F)``
+    materialization (a full write of every feature row + its re-read by the
+    model, the "structural double read" in PERF.md's dist-graph step trace)
+    never exists.  Exact: valid picks are injective (the dedup'd frontier is
+    unique per request slot), EMPTY sentinels pass through, and dst rows
+    beyond the valid prefix get EMPTY ``dst_ids`` (``_take_dst`` zero-fills
+    them exactly like the materialized path's validity mask did).
+    """
+    assert block.dst_ids is None, "layer-0 block already direct-extract"
+    safe = jnp.where(block.neigh != EMPTY, block.neigh, 0)
+    neigh = jnp.where(
+        block.neigh != EMPTY, jnp.take(pick, safe, axis=0), EMPTY
+    )
+    dst_valid = input_nodes[: block.dst_cap] != EMPTY
+    dst_ids = jnp.where(dst_valid, pick[: block.dst_cap], EMPTY)
+    return block.replace(neigh=neigh, dst_ids=dst_ids)
 
 
 def _rw_params(config: RunConfig):
@@ -185,9 +213,12 @@ def make_collocated_train_step(
             axis_name, use_dist_graph, tier={},
         )
         feat_local = _unshard(feat_part)
-        x, overflow = partitioned_gather(
+        xbuf, xpick, overflow = partitioned_gather_indirect(
             feat_local, batch.input_nodes, axis_name, seg_cap
         )
+        blocks = (
+            _block0_via_picks(batch.blocks[0], xpick, batch.input_nodes),
+        ) + tuple(batch.blocks[1:])
         lab_local = _unshard(label_part).reshape(-1, 1)
         labels, lab_overflow = partitioned_gather(
             lab_local, batch.output_nodes, axis_name, seg_cap
@@ -202,7 +233,7 @@ def make_collocated_train_step(
 
         def compute_loss(params):
             logits = model.apply(
-                {"params": params}, batch.blocks, x, True,
+                {"params": params}, blocks, xbuf, True,
                 rngs={"dropout": drop_key},
             )
             return loss_fn(logits, labels, batch.num_output)
@@ -548,9 +579,12 @@ def make_fused_eval_step(
             topo, seeds, num_seed, key, config, fanouts, caps, seg_cap,
             axis_name, use_dist_graph, tier={},
         )
-        x, x_of = partitioned_gather(
+        xbuf, xpick, x_of = partitioned_gather_indirect(
             _unshard(feat_part), batch.input_nodes, axis_name, seg_cap
         )
+        blocks = (
+            _block0_via_picks(batch.blocks[0], xpick, batch.input_nodes),
+        ) + tuple(batch.blocks[1:])
         labels, l_of = partitioned_gather(
             _unshard(label_part).reshape(-1, 1), batch.output_nodes,
             axis_name, seg_cap,
@@ -563,7 +597,7 @@ def make_fused_eval_step(
         for ax in count_axes:
             of = jax.lax.pmax(of, ax)
         valid = 1.0 - of.astype(jnp.float32)
-        logits = model.apply({"params": params}, batch.blocks, x, False)
+        logits = model.apply({"params": params}, blocks, xbuf, False)
         mask = (
             jnp.arange(logits.shape[0]) < batch.num_output
         ).astype(jnp.float32)

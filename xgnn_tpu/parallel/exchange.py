@@ -84,6 +84,57 @@ def plan_exchange(ids: jax.Array, num_parts: int, seg_cap: int):
     return send, owner, rank, overflow
 
 
+def partitioned_gather_indirect(
+    local_rows: jax.Array,
+    ids: jax.Array,
+    axis_name: str,
+    seg_cap: int,
+    *,
+    translate=None,
+):
+    """Run the exchange but return the RAW response buffer + pick index,
+    skipping the request-order materialization.
+
+    Downstream gathers compose through ``pick`` instead of reading a
+    materialized ``(cap, F)`` buffer: ``row_for_request[i] == buf[pick[i]]``
+    with ``pick[i] == buf.shape[0]`` (one past the end — ``mode="fill"``
+    zero-fills) for EMPTY/overflowed requests.  At bench shapes this removes
+    a full (cap, F) write + re-read from the feature path (PERF.md round-3
+    "indirect response" entry).
+
+    Returns ``(buf, pick, overflow)``: ``buf`` is the ``(P*seg_cap, F)``
+    response rows in (owner, rank) order; padding slots hold whatever row 0
+    of the owner's table is — defined values, never addressed by any pick.
+    """
+    num_parts = jax.lax.axis_size(axis_name)
+    send, owner, rank, overflow = plan_exchange(ids, num_parts, seg_cap)
+    # phase 1: ship request ids to their owners
+    req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
+    req = req.reshape(num_parts, seg_cap)
+    # local serve
+    req_valid = req != EMPTY
+    local_idx = (
+        translate(req) if translate is not None else req // num_parts
+    )
+    local_idx = jnp.where(req_valid, local_idx, 0)
+    rows = jnp.take(local_rows, local_idx.reshape(-1), axis=0, mode="clip")
+    rows = rows.reshape(num_parts, seg_cap, -1)
+    # no owner-side zeroing of padding slots: a padding slot is never
+    # addressed by any requester's (owner, rank) pick, and the requester
+    # masks its own EMPTY requests below — zeroing here costs a full
+    # (P, seg, F) read+write pass for nothing
+    # phase 2: ship rows back
+    resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)
+    buf = resp.reshape(num_parts * seg_cap, rows.shape[-1])
+    # responses are addressed by (owner, rank) in request order already;
+    # 1-D linearized pick (measured 40% faster than 2-D indexing on chip).
+    # Invalid requests point one past the end: consumers either gather with
+    # mode="fill" (zeros) or mask on their own EMPTY sentinels.
+    ok = (owner < num_parts) & (rank < seg_cap)
+    pick = jnp.where(ok, owner * seg_cap + rank, num_parts * seg_cap)
+    return buf, pick, overflow
+
+
 def partitioned_gather(
     local_rows: jax.Array,
     ids: jax.Array,
@@ -107,35 +158,10 @@ def partitioned_gather(
       ``(out, overflow)``: ``(cap, F)`` rows (zeros for EMPTY/overflowed) and
       a bool overflow flag (exchange must be retried with larger ``seg_cap``).
     """
-    num_parts = jax.lax.axis_size(axis_name)
-    send, owner, rank, overflow = plan_exchange(ids, num_parts, seg_cap)
-    # phase 1: ship request ids to their owners
-    req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
-    req = req.reshape(num_parts, seg_cap)
-    # local serve
-    req_valid = req != EMPTY
-    local_idx = (
-        translate(req) if translate is not None else req // num_parts
+    buf, pick, overflow = partitioned_gather_indirect(
+        local_rows, ids, axis_name, seg_cap, translate=translate
     )
-    local_idx = jnp.where(req_valid, local_idx, 0)
-    rows = jnp.take(local_rows, local_idx.reshape(-1), axis=0, mode="clip")
-    rows = rows.reshape(num_parts, seg_cap, -1)
-    # no owner-side zeroing of padding slots: a padding slot is never
-    # addressed by any requester's (owner, rank) pick, and the requester
-    # masks its own EMPTY requests below — zeroing here costs a full
-    # (P, seg, F) read+write pass for nothing
-    # phase 2: ship rows back
-    resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)
-    resp = resp.reshape(num_parts, seg_cap, rows.shape[-1])
-    # responses are addressed by (owner, rank) in request order already;
-    # 1-D linearized pick (measured 40% faster than 2-D indexing on chip)
-    safe_owner = jnp.minimum(owner, num_parts - 1)
-    safe_rank = jnp.clip(rank, 0, seg_cap - 1)
-    out = jnp.take(
-        resp.reshape(num_parts * seg_cap, -1),
-        safe_owner * seg_cap + safe_rank,
-        axis=0,
-    )
-    ok = (owner < num_parts) & (rank < seg_cap)
-    out = out * ok[:, None].astype(out.dtype)
+    # mode="fill" zero-fills the out-of-range invalid picks directly in the
+    # gather — no (cap, F) validity-mask multiply pass afterward
+    out = jnp.take(buf, pick, axis=0, mode="fill", fill_value=0)
     return out, overflow
