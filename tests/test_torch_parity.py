@@ -394,3 +394,172 @@ def test_gat_gradient_parity(rng, heads, out_dim, acc_limit, mat_limit, path):
             np.asarray(grads[name]), want[name], rtol=2e-3, atol=2e-4,
             err_msg=f"{path}: grad mismatch on {name}",
         )
+
+
+# --------------------------------------------------------------------------
+# End-to-end TRAINING-TRAJECTORY parity (VERDICT r3 item 3): N steps of real
+# engine training vs an independent torch twin consuming the exact same
+# sampled blocks/features/labels with the same init and the same Adam — loss
+# curves must agree step-for-step.  This is the integration-level check the
+# per-layer/per-gradient tests cannot provide: a shuffler-order, loss-mask,
+# LR-schedule, or update-skipping bug shifts the whole trajectory.
+# (Reference pattern: example/train_accuracy.py evaluates through an
+# independent DGL pipeline on the same data.)
+# --------------------------------------------------------------------------
+
+
+def _torch_sage_net(params_np, num_layers):
+    layers = []
+    for i in range(num_layers):
+        p = params_np[f"SAGEConv_{i}"]
+        layers.append((
+            torch.from_numpy(p["Dense_0"]["kernel"]).clone().requires_grad_(),
+            torch.from_numpy(p["Dense_1"]["kernel"]).clone().requires_grad_(),
+            torch.from_numpy(p["Dense_1"]["bias"]).clone().requires_grad_(),
+        ))
+    flat = [t for lay in layers for t in lay]
+
+    def forward(blocks_np, x):
+        h = x
+        for i, (w_self, w_neigh, b) in enumerate(layers):
+            neigh = blocks_np[i]
+            mean = _torch_mean_agg(h, neigh, neigh.shape[0])
+            h = h[: neigh.shape[0]] @ w_self + mean @ w_neigh + b
+            if i < num_layers - 1:
+                h = torch.relu(h)
+        return h
+
+    return forward, flat
+
+
+def _torch_gcn_net(params_np, num_layers):
+    layers = []
+    for i in range(num_layers):
+        p = params_np[f"GCNConv_{i}"]
+        layers.append((
+            torch.from_numpy(p["Dense_0"]["kernel"]).clone().requires_grad_(),
+            torch.from_numpy(p["bias"]).clone().requires_grad_(),
+        ))
+    flat = [t for lay in layers for t in lay]
+
+    def forward(blocks_np, x):
+        h = x
+        for i, (w, b) in enumerate(layers):
+            neigh = blocks_np[i]
+            n = torch.from_numpy(neigh)
+            mask = n != EMPTY_KEY
+            safe = torch.where(mask, n, torch.zeros_like(n)).long()
+            out_deg = torch.zeros(h.shape[0])
+            out_deg.scatter_add_(0, safe.reshape(-1), mask.reshape(-1).float())
+            hw = h @ w
+            hw_norm = hw / out_deg.clamp(min=1).sqrt().unsqueeze(-1)
+            msgs = hw_norm[safe] * mask.unsqueeze(-1)
+            agg = msgs.sum(1)
+            in_deg = mask.sum(1).float()
+            h = agg / in_deg.clamp(min=1).sqrt().unsqueeze(-1) + b
+            if i < num_layers - 1:
+                h = torch.relu(h)
+        return h
+
+    return forward, flat
+
+
+def _torch_masked_ce(logits, labels, num_valid):
+    n = logits.shape[0]
+    mask = (torch.arange(n) < num_valid).float()
+    safe = labels.clamp(0, logits.shape[1] - 1)
+    ll = torch.nn.functional.cross_entropy(logits, safe, reduction="none")
+    return (ll * mask).sum() / max(float(num_valid), 1.0)
+
+
+@pytest.mark.parametrize("model_name", ["graphsage", "gcn"])
+def test_training_trajectory_parity(learn_ds, model_name):
+    """>=20 steps of the REAL engine loop (shuffler -> sampler -> extract ->
+    jitted Adam train step) vs torch Adam on the exported per-step batches:
+    loss trajectories allclose, and the engine's own train_epoch() reports
+    the same mean loss for the identical epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.engine import Engine
+
+    ds = learn_ds
+    steps_wanted = 20
+    config = RunConfig(
+        batch_size=len(ds.train_set) // (steps_wanted + 1),
+        fanout=(4, 3),
+        num_layer=2,
+        num_hidden=16,
+        model=model_name,
+        dropout=0.0,  # determinism across frameworks
+        lr=0.01,
+        pipeline=False,
+        gpu_extract=False,  # local-id blocks: the torch twin reads the same x
+        cache_percentage=0.0,
+        num_epoch=1,
+        root_path="/tmp",
+        dataset="synthetic",
+    )
+    engine = Engine(ds, config).init()
+
+    # ---- replay exactly what train_epoch does, EXPORTING each step ----
+    from xgnn_tpu.engine.shuffler import Shuffler
+
+    shuffler = Shuffler(ds.train_set, config.batch_size,
+                        seed=config.seed + 1, num_worker=1)
+    sample_base = jax.random.fold_in(engine._sample_key, 0)
+    drop_base = jax.random.fold_in(engine._dropout_key, 0)
+    # export the init BEFORE stepping: the jitted train step DONATES the
+    # state buffers (engine.state is consumed by step 0)
+    params_np = jax.tree.map(lambda a: np.asarray(a), engine.state.params)
+    exported = []
+    state = engine.state
+    jax_losses = []
+    for step, (seeds, n) in enumerate(shuffler.epoch_batches(0)):
+        item = ((seeds, n), jax.random.fold_in(sample_base, step), (0, step))
+        batch, x, labels, info, _ = engine._produce(item)
+        exported.append((
+            [np.asarray(b.neigh) for b in batch.blocks],
+            np.asarray(x, np.float32),
+            np.asarray(labels),
+            int(batch.num_output),
+        ))
+        state, metrics = engine._train_step(
+            state, batch.blocks, x, labels, batch.num_output,
+            jax.random.fold_in(drop_base, step), batch.overflow,
+        )
+        jax_losses.append(metrics["loss"])
+    jax_losses = np.asarray(jnp.stack(jax_losses))
+    assert len(exported) >= steps_wanted
+    assert np.isfinite(jax_losses).all()  # no overflow-skipped steps
+
+    # ---- independent torch twin on the exported steps ----
+    net = _torch_sage_net if model_name == "graphsage" else _torch_gcn_net
+    forward, flat_params = net(params_np, config.num_layer)
+    opt = torch.optim.Adam(flat_params, lr=config.lr, eps=1e-8)
+    torch_losses = []
+    for blocks_np, x_np, labels_np, num_out in exported:
+        opt.zero_grad()
+        logits = forward(blocks_np, torch.from_numpy(x_np))
+        loss = _torch_masked_ce(
+            logits, torch.from_numpy(labels_np.astype(np.int64)), num_out
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+    torch_losses = np.asarray(torch_losses)
+
+    # the learning signal must be real (planted-signal dataset): the
+    # trajectory should actually descend, or this test proves nothing
+    assert jax_losses[-1] < jax_losses[0] * 0.9
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3, atol=2e-3)
+
+    # ---- and train_epoch() on a fresh identical engine reproduces the
+    # replayed loop exactly (binds the epoch-loop integration: shuffler
+    # seeding, key folding, masking, skip handling) ----
+    engine2 = Engine(ds, config).init()
+    r = engine2.train_epoch(0)
+    np.testing.assert_allclose(
+        r["loss"], float(np.nanmean(jax_losses)), rtol=1e-5
+    )
