@@ -107,7 +107,20 @@ def main():
     # measurement row the round-2 verdict asked for).  XGNN_BENCH_DIST_PCT
     # < 1 adds the host cold topology tier.
     dist_graph = os.environ.get("XGNN_BENCH_DIST_GRAPH", "0") == "1"
-    if dist_graph:
+    # XGNN_BENCH_ARCH5=1: the DISAGGREGATED (FGNN) engine on one chip —
+    # 1 sampler role + 1 trainer role share the chip (role-degenerate), so
+    # the full arch5 pipeline (sampling service, D2D handoff, per-trainer
+    # store, stitched SPMD train step) is measured end to end
+    # (reference dist_loops_arch5.cc:56-297).
+    arch5 = os.environ.get("XGNN_BENCH_ARCH5", "0") == "1"
+    if arch5:
+        from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+        from xgnn_tpu.sampler import Sampler
+
+        config.num_sample_worker = 1
+        config.num_train_worker = 1
+        engine = DisaggregatedEngine(ds, config)
+    elif dist_graph:
         from xgnn_tpu.engine.multi_engine import MultiChipEngine
         from xgnn_tpu.sampler import Sampler
 
@@ -122,7 +135,12 @@ def main():
         engine = Engine(ds, config)
     t0 = time.time()
     engine.init()
-    caps = engine.capacities if dist_graph else engine.sampler.capacities
+    if arch5:
+        caps = engine.svc.capacities
+    elif dist_graph:
+        caps = engine.capacities
+    else:
+        caps = engine.sampler.capacities
     print(f"# init {time.time()-t0:.1f}s; caps={caps}", file=sys.stderr)
 
     epoch_times = []
@@ -130,16 +148,25 @@ def main():
         r = engine.train_epoch(epoch)
         print(f"# epoch {epoch}: {r['time']:.2f}s loss={r['loss']:.4f} "
               f"acc={r['train_acc']:.4f}", file=sys.stderr)
+        if arch5:
+            disp = engine.profiler._epoch_items.get(epoch, {}).get(
+                "sample_dispatch", 0.0
+            )
+            print(f"# epoch {epoch}: sample+extract dispatch "
+                  f"{disp:.2f}s ({disp / max(r['time'], 1e-9):.0%} of wall)",
+                  file=sys.stderr)
         if epoch > 0:
             epoch_times.append(r["time"])
 
     # aggregated-edge count: re-sample a few batches and scale (keeps the
     # timed loop unperturbed; the single-store Sampler draws the same
     # distribution as the partitioned path)
-    count_sampler = (
-        Sampler(engine._graph, config, list(caps)) if dist_graph
-        else engine.sampler
-    )
+    if arch5:
+        count_sampler = engine.svc.samplers[0]
+    elif dist_graph:
+        count_sampler = Sampler(engine._graph, config, list(caps))
+    else:
+        count_sampler = engine.sampler
     shuffler = Shuffler(ds.train_set, BATCH, seed=config.seed + 1)
     edge_counts = []
     for i, (seeds, n) in enumerate(shuffler.epoch_batches(1)):
@@ -172,7 +199,9 @@ def main():
     if not pinsage and sample_type != "khop3":
         # the COERCED sample type: what actually ran, not what was requested
         model_tag = f"{model_tag}_{sample_type}"
-    if dist_graph:
+    if arch5:
+        model_tag += "_arch5"
+    elif dist_graph:
         model_tag += "_distgraph"
         if config.dist_graph_percentage < 1.0:
             model_tag += f"{config.dist_graph_percentage:g}"

@@ -133,3 +133,29 @@ def test_disagg_engine_presample_cache(small_ds):
     eng = DisaggregatedEngine(small_ds, config).init()
     r = eng.train_epoch(0)
     assert np.isfinite(r["loss"])
+
+
+def test_disagg_role_degenerate_one_device(learn_ds):
+    """arch5 with 1 sampler + 1 trainer role sharing ONE chip (the single
+    chip benchmark shape, XGNN_BENCH_ARCH5): the full pipeline runs, the
+    D2D handoff degenerates to an on-chip no-op."""
+    import jax
+
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.engine.disagg_engine import DisaggregatedEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", num_sample_worker=1, num_train_worker=1,
+        cache_percentage=0.0, num_epoch=2, lr=0.01, root_path="/tmp",
+        pipeline=True,
+    )
+    eng = DisaggregatedEngine(
+        learn_ds, config, devices=jax.devices()[:1]
+    ).init()
+    assert eng.sample_devices[0] is eng.train_devices[0]
+    losses = [eng.train_epoch(e)["loss"] for e in range(2)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    acc = eng.evaluate("valid", max_batches=2)
+    assert np.isfinite(acc)

@@ -57,16 +57,25 @@ class DisaggregatedEngine:
         self.ds = dataset
         self.config = config
         devices = devices or jax.devices()
-        need = config.num_sample_worker + config.num_train_worker
-        assert len(devices) >= need, (
-            f"need {need} chips ({config.num_sample_worker} samplers + "
-            f"{config.num_train_worker} trainers), have {len(devices)}"
-        )
-        self.sample_devices = devices[: config.num_sample_worker]
-        self.train_devices = devices[
-            config.num_sample_worker : config.num_sample_worker
-            + config.num_train_worker
-        ]
+        ns, nt = config.num_sample_worker, config.num_train_worker
+        if len(devices) >= ns + nt:
+            self.sample_devices = devices[:ns]
+            self.train_devices = devices[ns : ns + nt]
+        else:
+            # role-degenerate mode: fewer chips than roles — sampler and
+            # trainer roles share chips round-robin (the P=1 benchmark
+            # shape: the full arch5 machinery runs, the D2D handoff
+            # degenerates to an on-chip no-op; the reference cannot run
+            # arch5 on one GPU at all)
+            assert len(devices) >= 1 and nt <= len(devices), (
+                f"{nt} trainers need distinct chips, have {len(devices)}"
+            )
+            self.sample_devices = [
+                devices[i % len(devices)] for i in range(ns)
+            ]
+            self.train_devices = [
+                devices[(ns + i) % len(devices)] for i in range(nt)
+            ]
         self.train_mesh = make_mesh(devices=self.train_devices)
         self.num_trainer = config.num_train_worker
         self.profiler = P.Profiler(profile_level=config.profile_level)
