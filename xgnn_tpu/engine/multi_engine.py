@@ -392,8 +392,12 @@ class MultiChipEngine:
     def _derive_exchange_caps(self):
         p = self.num_parts
         h = self.config.exchange_headroom
-        self.seg_cap = max(
-            int(np.ceil(self.capacities[-1] / p * h)), 128
+        # a per-peer segment can never need more than the full request cap
+        # (at P=1 that makes the headroom provably dead padding — 25% of the
+        # owner-side gather and the response buffer for nothing)
+        self.seg_cap = min(
+            max(int(np.ceil(self.capacities[-1] / p * h)), 128),
+            self.capacities[-1],
         )
         # miss buffer sized to the expected miss fraction (hot-ranked caches
         # miss *less* than 1-pct by count; 1.25x headroom, grown on overflow)

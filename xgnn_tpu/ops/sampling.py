@@ -40,9 +40,23 @@ def _frontier_meta(indptr: jax.Array, frontier: jax.Array):
     """Per-node CSR slice (start, degree) with empty-entry masking.
 
     Tiled gathers (ops/tiled.py): scattered element reads are the sampler's
-    bandwidth floor on TPU."""
+    bandwidth floor on TPU.
+
+    EMPTY entries map to DISTINCT spread-out nodes, not node 0: repeated
+    gather indices COLLIDE on this chip (parking 30% of a frontier's picks
+    on one tile makes the whole pick gather 1.55x slower —
+    collision_bench.tsv), and a frontier at its static cap is routinely
+    20-45% EMPTY padding.  The spread rows' degrees are masked to 0, so
+    every downstream pick they produce is masked to EMPTY — outputs are
+    bit-identical to the node-0 mapping."""
     valid = frontier != EMPTY
-    node = jnp.where(valid, frontier, 0)
+    n = max(indptr.shape[0] - 1, 1)
+    # stride ~TILE so consecutive padding slots land in different indptr
+    # tiles and produce distinct (random-looking) CSR starts
+    spread = (
+        jnp.arange(frontier.shape[0], dtype=jnp.int32) * jnp.int32(127)
+    ) % n
+    node = jnp.where(valid, frontier, spread)
     start = take_1d(indptr, node)
     deg = take_1d(indptr, node + 1) - start
     deg = jnp.where(valid, deg, 0)

@@ -255,6 +255,11 @@ def sample_layer_partitioned(
     Returns ``(neigh (cap, K) global ids, overflow)``.
     """
     num_parts = jax.lax.axis_size(axis_name)
+    # per-peer ranks are prefix counts over the frontier: a segment can
+    # never need more slots than the frontier has entries (kills the
+    # headroom padding at P=1 and any layer whose frontier is smaller
+    # than its derived segment)
+    seg_cap = min(seg_cap, frontier.shape[0])
     has_cold = num_cache_node is not None and host_sampler is not None
     if has_cold:
         valid = frontier != EMPTY

@@ -107,6 +107,11 @@ def partitioned_gather_indirect(
     of the owner's table is — defined values, never addressed by any pick.
     """
     num_parts = jax.lax.axis_size(axis_name)
+    # a per-peer segment can never need more slots than the request vector
+    # has entries (rank is a prefix count over it) — at P=1 this deletes the
+    # headroom padding outright, and a small request vector (labels: one
+    # batch of seeds) never drags a full-frontier-sized exchange behind it
+    seg_cap = min(seg_cap, ids.shape[0])
     send, owner, rank, overflow = plan_exchange(ids, num_parts, seg_cap)
     # phase 1: ship request ids to their owners
     req = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
@@ -116,7 +121,14 @@ def partitioned_gather_indirect(
     local_idx = (
         translate(req) if translate is not None else req // num_parts
     )
-    local_idx = jnp.where(req_valid, local_idx, 0)
+    # padding slots must point at DISTINCT rows: repeated gather indices
+    # COLLIDE on this chip (one shared dummy row at 20-45% padding drags the
+    # whole gather from ~46 to 35-41 GB/s — collision_bench.tsv); spreading
+    # them over consecutive rows restores the all-valid rate exactly
+    spread = jnp.arange(req.size, dtype=jnp.int32).reshape(req.shape) % max(
+        local_rows.shape[0], 1
+    )
+    local_idx = jnp.where(req_valid, local_idx, spread)
     rows = jnp.take(local_rows, local_idx.reshape(-1), axis=0, mode="clip")
     rows = rows.reshape(num_parts, seg_cap, -1)
     # no owner-side zeroing of padding slots: a padding slot is never
