@@ -1056,3 +1056,101 @@ def test_eval_overflow_is_transient(learn_ds, cache_pct):
         assert eng._fn_a is before["fn_a"] and eng._fn_b is before["fn_b"]
     else:
         assert eng.step_fn is before["step_fn"]
+
+
+def test_presample_static_exact_multichip_oracle(mesh, small_ds):
+    """Exact all-neighbor static presample on the multi-chip stores ==
+    the NumPy BFS-closure oracle, on BOTH store layouts (VERDICT r3 item
+    10: the partitioned path previously used the wide-khop approximation).
+
+    Per lane-batch, every node reachable within L hops of that lane's
+    seeds is counted exactly once; counts land on the node's owner shard.
+    """
+    from xgnn_tpu.parallel.collocated import make_presample_static_exact_step
+    from xgnn_tpu.parallel.dist_topology import LocalTopo, partition_csr_host
+
+    P = NUM_DEV
+    N = small_ds.num_node
+    L = 2
+    cfg = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=L, num_hidden=8,
+        model="graphsage", sample_type="khop3", root_path="/tmp",
+    )
+    seed_cap = 128
+    rows = -(-N // P)
+
+    rng = np.random.default_rng(11)
+    batches = []  # two rounds of per-lane seed shards
+    for _ in range(2):
+        seeds = np.full((P, seed_cap), EMPTY_KEY, np.int32)
+        nums = rng.integers(3, 64, size=P).astype(np.int32)
+        for d in range(P):
+            seeds[d, : nums[d]] = rng.choice(N, nums[d], replace=False)
+        batches.append((seeds, nums))
+
+    # NumPy oracle: per lane, the L-hop closure of its seeds, counted once
+    indptr, indices = small_ds.indptr, small_ds.indices
+    want = np.zeros(N, np.int64)
+    for seeds, nums in batches:
+        for d in range(P):
+            reach = set(int(s) for s in seeds[d, : nums[d]])
+            for _ in range(L):
+                nxt = set(reach)
+                for v in reach:
+                    nxt.update(indices[indptr[v]:indptr[v + 1]].tolist())
+                reach = nxt
+            for v in reach:
+                want[v] += 1
+
+    keys = put_sharded(
+        jax.random.key_data(jax.random.split(jax.random.key(0), P)), mesh
+    )
+
+    def run(step, topo):
+        freq = put_sharded(np.zeros((P, rows), np.int32), mesh)
+        for seeds, nums in batches:
+            freq, sizes = step(
+                freq, topo, put_sharded(seeds, mesh),
+                put_sharded(nums, mesh), keys,
+            )
+        parts = np.asarray(freq)  # (P, rows): owner-shard counts
+        full = np.zeros(P * rows, np.int64)
+        for w in range(P):
+            full[w::P] = parts[w]
+        return full[:N]
+
+    # partitioned topology (owner-parallel closure + per-layer psum_scatter)
+    lt = partition_csr_host(small_ds.indptr, small_ds.indices, P)
+    topo_p = LocalTopo(
+        *(put_sharded(t, mesh) if t is not None else None for t in lt)
+    )
+    step_p = make_presample_static_exact_step(
+        cfg, mesh, N, seed_cap, use_dist_graph=True
+    )
+    np.testing.assert_array_equal(run(step_p, topo_p), want)
+
+    # replicated topology (local closure + final owner psum_scatter)
+    graph = put_replicated(Graph.from_dataset(small_ds), mesh)
+    step_r = make_presample_static_exact_step(
+        cfg, mesh, N, seed_cap, use_dist_graph=False
+    )
+    np.testing.assert_array_equal(run(step_r, graph), want)
+
+
+def test_multi_chip_presample_static_exact_e2e(learn_ds):
+    """presample_static on the all-HBM partitioned GGMS rides the exact
+    closure end-to-end (engine wiring: freq_fn -> exact step when no host
+    cold tier exists)."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    config = RunConfig(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=True, part_cache=True, cache_percentage=0.2,
+        cache_policy="presample_static", presample_epoch=1,
+        num_epoch=1, lr=0.01, root_path="/tmp",
+    )
+    eng = MultiChipEngine(learn_ds, config).init()
+    assert eng.two_phase
+    r = eng.train_epoch(0)
+    assert np.isfinite(r["loss"]) and r["steps"] >= 1

@@ -518,16 +518,26 @@ class MultiChipEngine:
             """Frequency-collection program: presample_static swaps in the
             all-neighbor expansion (reference DoGPUSampleAllNeighbour).
 
-            On the partitioned store this is the wide-khop APPROXIMATION
-            (exact for deg <= presample_static_fanout); the exact
-            edge-parallel closure (store.presample.static_exact_ranking)
-            needs the full topology on one chip and is used by the
-            single-store engines."""
+            All-HBM stores (partitioned or replicated) run it EXACTLY via the
+            owner-parallel edge closure (make_presample_static_exact_step —
+            every neighbor counted, no fanout truncation); only the tiered
+            engines (host cold tier holds edges no chip can reach) keep the
+            wide-khop APPROXIMATION (exact for deg <=
+            presample_static_fanout)."""
             if cfg.cache_policy != CachePolicy.PRE_SAMPLE_STATIC:
                 return make_presample_step(
                     cfg, self.mesh, capacities, seg_cap,
                     use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
                     **self._tier_kwargs(),
+                )
+            if self.num_cache_node is None:
+                from ..parallel.collocated import (
+                    make_presample_static_exact_step,
+                )
+
+                return make_presample_static_exact_step(
+                    cfg, self.mesh, self.ds.num_node, capacities[0],
+                    use_dist_graph=cfg.use_dist_graph, dcn_axis=self._dcn,
                 )
             from ..store.presample import static_presample_config
 

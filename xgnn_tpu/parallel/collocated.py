@@ -727,6 +727,148 @@ def make_presample_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_presample_static_exact_step(
+    config: RunConfig,
+    mesh,
+    num_node: int,
+    seed_cap: int,
+    axis_name: str = DATA_AXIS,
+    use_dist_graph: bool = False,
+    dcn_axis=None,
+):
+    """EXACT all-neighbor static presample over the multi-chip stores
+    (reference ``DoGPUSampleAllNeighbour``, ``cuda/cuda_extract_neighbour.cu``
+    + ``dist/pre_sampler.cc:188-210``): per batch, count every node reachable
+    within L hops of the seeds — every neighbor, not a sampled subset — once.
+
+    The single-store engines run this as an edge-parallel bitmask closure
+    (``store.presample.static_exact_ranking``).  The multi-chip re-expression
+    keeps it exact WITHOUT shipping requests through the sampling exchange:
+
+    * **partitioned topology** (``use_dist_graph``): the sources of a chip's
+      local CSR rows are exactly the nodes it owns (interleaved placement),
+      so one closure layer = every chip gathers all P lanes' owner-shard
+      masks along its LOCAL edges, scatter-maxes into global destinations,
+      and one tiled ``psum_scatter`` per layer returns the destination
+      partials to their owners.  Per-batch work equals the single-store
+      closure's (each chip does P lanes over 1/P of the edges); the only
+      collectives are the (P, L, rows) reduce-scatter per layer and a tiny
+      seed all_gather.
+    * **replicated topology**: each chip closes over its own lane's batch
+      locally (it holds the full CSR) and a single final ``psum_scatter``
+      owner-accumulates the masks into the interleaved count shards.
+
+    Requires the full topology HBM-resident (no host cold tier) — the tiered
+    engines keep the wide-khop approximation (``static_presample_config``).
+
+    Same signature as :func:`make_presample_step`'s returned fn; the
+    ``sizes`` output is zeros (the exact program runs post-calibration).
+    """
+    num_layer = config.num_fanout
+    batch_spec = (
+        PS(axis_name) if dcn_axis is None else PS(dcn_axis, axis_name)
+    )
+    lane_spec = (
+        PS(axis_name) if dcn_axis is None else PS((dcn_axis, axis_name))
+    )
+
+    def per_chip(freq_part, topo, seeds, num_seed, key):
+        del key  # deterministic: the closure has no randomness
+        P = jax.lax.axis_size(axis_name)
+        p_idx = jax.lax.axis_index(axis_name)
+        rows = freq_part.shape[-1]  # owned interleaved shard: node p + P*r
+        seeds = seeds.reshape(-1)[:seed_cap]
+        num_seed = num_seed.reshape(())
+        valid = jnp.arange(seeds.shape[0]) < num_seed
+        sg = jnp.where(valid, seeds, EMPTY)
+
+        if use_dist_graph:
+            topo = _local_topo(topo, True)
+            # all lanes' seed lists (tiny: (P, batch_cap) ids)
+            all_seeds = jax.lax.all_gather(sg, axis_name)  # (P, S)
+            mine = (all_seeds != EMPTY) & (all_seeds % P == p_idx)
+            tgt = jnp.where(mine, all_seeds // P, rows)
+            # (P, rows) int8: lane l's running closure over MY owned nodes
+            mask = jnp.zeros((all_seeds.shape[0], rows), jnp.int8)
+            mask = jax.vmap(
+                lambda m, t, v: m.at[t].max(v.astype(jnp.int8), mode="drop")
+            )(mask, tgt, mine)
+            # per-edge LOCAL source row id (static_exact_ranking's cumsum
+            # trick over the local indptr); edges past iptr[rows] are padding
+            iptr = topo.indptr
+            n_edges = iptr[rows]
+            marks = (
+                jnp.zeros(topo.indices.shape[0], jnp.int32)
+                .at[iptr[1:rows]]
+                .add(1, mode="drop")
+            )
+            rowid = jnp.cumsum(marks)
+            evalid = jnp.arange(topo.indices.shape[0]) < n_edges
+            dst = topo.indices  # global ids
+            for _ in range(num_layer):
+                hit = jnp.take(mask, rowid, axis=1) * evalid.astype(jnp.int8)
+                add = (
+                    jnp.zeros((mask.shape[0], rows * P), jnp.int8)
+                    .at[:, dst]
+                    .max(hit)
+                )
+                # linear id v = r*P + p_owner → (rows, P); owner-major for
+                # the tiled reduce-scatter back to each node's owner
+                addT = add.reshape(mask.shape[0], rows, P).transpose(2, 0, 1)
+                recv = jax.lax.psum_scatter(
+                    addT.astype(jnp.int32), axis_name,
+                    scatter_dimension=0, tiled=True,
+                ).reshape(mask.shape)
+                mask = jnp.maximum(mask, (recv > 0).astype(jnp.int8))
+            counted = mask.sum(axis=0).astype(freq_part.dtype)
+        else:
+            # replicated store: close over MY lane's batch fully locally
+            n_pad = rows * P
+            tgt = jnp.where(sg != EMPTY, sg, n_pad)
+            mask = (
+                jnp.zeros(n_pad, jnp.int8)
+                .at[tgt]
+                .max(valid.astype(jnp.int8), mode="drop")
+            )
+            iptr = topo.indptr
+            marks = (
+                jnp.zeros(topo.indices.shape[0], jnp.int32)
+                .at[iptr[1:num_node]]
+                .add(1, mode="drop")
+            )
+            rowid = jnp.cumsum(marks)
+            evalid = jnp.arange(topo.indices.shape[0]) < topo.num_edge
+            for _ in range(num_layer):
+                hit = mask[rowid] * evalid.astype(jnp.int8)
+                add = jnp.zeros(n_pad, jnp.int8).at[topo.indices].max(hit)
+                mask = jnp.maximum(mask, add)
+            # one final owner-accumulation: chip p receives Σ_lanes mask_l
+            # restricted to its interleaved shard
+            maskT = mask.reshape(rows, P).transpose(1, 0)  # (P_owner, rows)
+            counted = jax.lax.psum_scatter(
+                maskT.astype(jnp.int32), axis_name,
+                scatter_dimension=0, tiled=True,
+            ).reshape(rows).astype(freq_part.dtype)
+
+        sizes = jnp.zeros((num_layer + 1,), jnp.int32)
+        return freq_part + counted[None], sizes
+
+    sharded = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(
+            lane_spec,
+            PS(axis_name) if use_dist_graph else PS(),
+            batch_spec,
+            batch_spec,
+            batch_spec,
+        ),
+        out_specs=(lane_spec, PS()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 # --------------------------------------------------------------------------
 # host-side placement helpers
 # --------------------------------------------------------------------------
