@@ -527,3 +527,24 @@ def test_spmm_planned_fine_buckets_matches():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+
+def test_gat_bytes_model_path_selection():
+    """The default (acc_limit=None) bytes model reproduces the chip-measured
+    optimal path at every bench-shape layer (PERF.md GAT A/B anchors), and
+    the explicit-int override keeps the old threshold semantics."""
+    from xgnn_tpu.models.gnn import gat_select_path
+
+    MAT = 1_200_000_000
+    # 8-head bench shapes (heads=8, hidden 256 -> d=32):
+    # layer 0: dst 1M, K 15, in 128 — picks buffer 1.92G > MAT -> per_pick
+    assert gat_select_path(1_007_360, 15, 128, 8, 32, None, MAT) == "per_pick"
+    # middle layer: dst 133k, K 10, in 256 — the measured +11.6% contraction
+    assert gat_select_path(133_376, 10, 256, 8, 32, None, MAT) == "contraction"
+    # 1-head layers: aggregate-first measured best (fanout_bench.tsv)
+    assert gat_select_path(1_007_360, 15, 128, 1, 256, None, MAT) == "aggregate_first"
+    assert gat_select_path(133_376, 10, 256, 1, 256, None, MAT) == "aggregate_first"
+    # explicit int override: old element-count threshold
+    assert gat_select_path(100, 4, 8, 2, 6, 0, MAT) == "contraction"
+    assert gat_select_path(100, 4, 8, 2, 6, 0, 0) == "per_pick"
+    assert gat_select_path(100, 4, 8, 2, 6, 10**9, MAT) == "aggregate_first"

@@ -205,6 +205,55 @@ def _mp_einsum(subscripts: str, x: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.einsum(subscripts, x, w)
 
 
+def gat_select_path(
+    dst_cap: int,
+    fanout: int,
+    in_dim: int,
+    num_heads: int,
+    out_dim: int,
+    acc_limit: Optional[int],
+    mat_limit: int,
+) -> str:
+    """Choose the GAT aggregation path from shapes (VERDICT r3 item 6b: a
+    bytes model instead of the hand-tuned 200M element threshold).
+
+    Estimated HBM traffic in units of K·dst·in elements:
+
+    * ``aggregate_first``: ``1 + 2H`` — one input-width row gather per pick
+      plus a (dst, H, in) accumulator read+write per pick.
+    * ``contraction``: flat ``4`` — materialize the (dst, K, in) picks once
+      (gather read + write), MXU reads it twice (scores, weighted reduce).
+      Wins exactly when H >= 2; capped by ``mat_limit`` elements.
+    * ``per_pick``: ``(2·in + 3·H·D)/in`` — gather + K transform matmuls
+      with a (dst, H·D) accumulator; the fallback when contraction is
+      wanted but the picks buffer doesn't fit.
+
+    Measured anchors (PERF.md "GAT path-selection A/B", fanout_bench.tsv):
+    8-head middle layer +11.6% in contraction form, 1-head layers best
+    aggregate-first, 8-head layer 0 (mat-capped) per-pick.  An explicit
+    ``acc_limit`` int restores the old element-count threshold semantics.
+    """
+    mat_fits = dst_cap * fanout * in_dim <= mat_limit
+    if acc_limit is None:
+        want_con = num_heads >= 2
+        if want_con and mat_fits:
+            return "contraction"
+        if (
+            want_con
+            and not mat_fits
+            and 2 * in_dim + 3 * num_heads * out_dim
+            < (1 + 2 * num_heads) * in_dim
+        ):
+            return "per_pick"
+        return "aggregate_first"
+    over = dst_cap * num_heads * in_dim > acc_limit
+    if over and mat_fits:
+        return "contraction"
+    if over:
+        return "per_pick"
+    return "aggregate_first"
+
+
 class GATConv(nn.Module):
     """Graph attention (DGL ``GATConv`` semantics, sampled-block edition).
 
@@ -231,16 +280,25 @@ class GATConv(nn.Module):
     num_heads: int = 1
     negative_slope: float = 0.2
     param_dtype: Any = jnp.float32
-    # aggregate-first keeps a (dst, H, in) accumulator that round-trips HBM
-    # on every one of the K passes; beyond this element count switch to the
-    # (dst, K, in) contraction form (one materialization, MXU reductions),
-    # and beyond mat_limit (the materialized-picks cap, default 4.8 GB f32)
-    # to transforming each pick so the accumulator is (dst, H·D).  200M
-    # measured: the bench 8-head middle layer (dst 133k, K 10, in 256 —
-    # 273M accumulator elements) runs 11.6% faster end-to-end in contraction
-    # form than aggregate-first (PERF.md GAT path-selection A/B).
-    acc_limit: int = 200_000_000
+    # Path selection is a BYTES MODEL by default (acc_limit=None): per
+    # K·dst·in elements moved, aggregate-first costs (1 + 2H) HBM passes
+    # (one row gather + a (dst, H, in) accumulator read+write per pick) vs
+    # the contraction form's flat 4 (materialize (dst, K, in) once, MXU
+    # reads it three times) — so contraction wins exactly when H >= 2,
+    # capped by mat_limit (the materialized-picks buffer, default 4.8 GB
+    # f32).  When contraction is wanted but doesn't fit, per-pick transform
+    # (accumulator (dst, H·D), K·dst·(2·in + 3·H·D) bytes) takes over if it
+    # beats aggregate-first's (1+2H)·K·dst·in.  Measured anchors: the bench
+    # 8-head middle layer (dst 133k, K 10, in 256) runs 11.6% faster in
+    # contraction form (PERF.md "GAT path-selection A/B"), the 1-head paths
+    # resolved in favor of aggregate-first (fanout_bench.tsv), and the
+    # 8-head layer 0 (mat-capped) in per-pick form.  An explicit acc_limit
+    # int restores the element-count threshold (tests / A/Bs force paths
+    # with it).
+    acc_limit: Optional[int] = None
     mat_limit: int = 1_200_000_000
+
+    # (selection logic lives in gat_select_path below — unit-testable)
 
     @nn.compact
     def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
@@ -287,10 +345,11 @@ class GATConv(nn.Module):
             out = acc / jnp.maximum(s, 1e-9)[:, :, None]
             return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
 
-        if (
-            block.dst_cap * h * in_dim > self.acc_limit
-            and block.dst_cap * block.fanout * in_dim <= self.mat_limit
-        ):
+        path = gat_select_path(
+            block.dst_cap, block.fanout, in_dim, h, d,
+            self.acc_limit, self.mat_limit,
+        )
+        if path == "contraction":
             # contraction form: materialize the gathered picks ONCE as
             # (dst, K, in); scores AND the K-fold reduction both read that
             # buffer — no second gather, and the reduction happens in f32
@@ -318,7 +377,7 @@ class GATConv(nn.Module):
             )
             return out.reshape(block.dst_cap, h * d).astype(wl.dtype)
 
-        if block.dst_cap * h * in_dim > self.acc_limit:
+        if path == "per_pick":
             # per-pick transform: each pick is pushed through the kernel
             # immediately so the accumulator is (dst, H, D) instead of
             # (dst, H, in) — K matmuls instead of one, bought for an
@@ -425,8 +484,9 @@ class GNN(nn.Module):
     # (src_cap, hidden) activation, so this is an escape hatch for
     # unusually wide hidden dims / many-head GAT at huge frontiers
     remat: bool = False
-    # GAT path-selection thresholds (see GATConv); overridable for A/Bs
-    gat_acc_limit: int = 200_000_000
+    # GAT path-selection (see GATConv): None = shape-driven bytes model;
+    # an int restores the element-count threshold for A/Bs
+    gat_acc_limit: Optional[int] = None
     gat_mat_limit: int = 1_200_000_000
 
     @nn.compact
@@ -472,8 +532,11 @@ def build_model(config, feat_dim: int, num_class: int) -> GNN:
     num_layers = (
         config.num_layer_pinsage if name == "pinsage" else config.num_layer
     )
+    acc_env = os.environ.get("XGNN_GAT_ACC_LIMIT")
     return GNN(
-        gat_acc_limit=int(os.environ.get("XGNN_GAT_ACC_LIMIT", 200_000_000)),
+        # default None → the GATConv bytes model decides; env int forces
+        # the old element-count threshold (A/B escape hatch)
+        gat_acc_limit=int(acc_env) if acc_env else None,
         gat_mat_limit=int(os.environ.get("XGNN_GAT_MAT_LIMIT", 1_200_000_000)),
         conv=name,
         hidden_dim=config.num_hidden,
