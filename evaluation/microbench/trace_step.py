@@ -50,9 +50,11 @@ def main():
     else:
         fanout = (15, 10, 5)
 
+    sample_type = _arg("--sample-type", "khop3")
     ds = make_device_dataset(
         num_node, num_edge, 128, 47, train_frac=0.08, seed=0,
         name="products_synth", dedup=False,
+        weighted=sample_type.startswith("weighted"),
     )
     config = RunConfig(
         batch_size=batch,
@@ -61,7 +63,7 @@ def main():
         num_hidden=hidden,
         model=model,
         num_head=int(_arg("--heads", "1")),
-        sample_type="khop3",
+        sample_type=sample_type,
         cache_percentage=0.0,
         pipeline=False,  # serial loop: trace slices line up per step
         num_epoch=1,

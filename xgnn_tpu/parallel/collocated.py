@@ -64,10 +64,21 @@ def _block0_via_picks(block: Block, pick: jax.Array, input_nodes: jax.Array):
     them exactly like the materialized path's validity mask did).
     """
     assert block.dst_ids is None, "layer-0 block already direct-extract"
-    safe = jnp.where(block.neigh != EMPTY, block.neigh, 0)
-    neigh = jnp.where(
-        block.neigh != EMPTY, jnp.take(pick, safe, axis=0), EMPTY
+    from ..ops.tiled import take_1d
+
+    valid = block.neigh != EMPTY
+    # invalid slots spread over DISTINCT positions (repeated indices collide
+    # — collision_bench.tsv), and the composition itself goes through the
+    # tiled element gather: scattered 4-byte picks at the row-gather rate
+    # instead of the ~80M/s transaction rate (PERF.md, ops/tiled.py)
+    spread = (
+        jnp.arange(block.neigh.size, dtype=jnp.int32).reshape(
+            block.neigh.shape
+        )
+        % pick.shape[0]
     )
+    safe = jnp.where(valid, block.neigh, spread)
+    neigh = jnp.where(valid, take_1d(pick, safe), EMPTY)
     dst_valid = input_nodes[: block.dst_cap] != EMPTY
     dst_ids = jnp.where(dst_valid, pick[: block.dst_cap], EMPTY)
     return block.replace(neigh=neigh, dst_ids=dst_ids)
