@@ -30,15 +30,17 @@ import os
 BENCH_CAPS = (8000, 133376, 1007360, 2449152)
 BENCH_FANOUTS = (15, 10, 5)
 FEAT_BYTES = 4 * 128  # f32, 128-wide
-T_COMPUTE_MS = 171.0  # sample 68 + train 101 + extract ~2 (in-device part)
+T_COMPUTE_MS = 181.5  # bench-anchored: 4.9e6 edges / 26.99M edges/s (the
+# round-4 single-store headline; sample + train + extract, today's chip)
 # per-chip exchange MACHINERY (constant-ish in P, measured at P=1 where the
-# wires are free): request planning + response unpermute (~40 ms x 4
-# exchanges), the owner-side draw/gather over 1.25x-padded request
-# matrices, and the second read of the materialized feature response
-# (trace_step --dist-graph + bench: 369 ms/step after the linearized
-# picks and owner-side-zeroing removal, vs 171 ms single-store — PERF.md
-# round-3 trace table)
-T_MACHINERY_MS = 198.0
+# wires are free): request planning + response picks (sort-free plan +
+# linearized/tiled compositions), the owner-side draw/gather over
+# seg-clamped request matrices, and the last-layer dedup sort the
+# single-store path avoids via direct extraction.  Round-4 value is the
+# P=1 bench delta: 4.9e6/17.00M = 288.2 ms dist-graph step vs 181.5
+# single-store (after the collision-spread, seg-clamp, and tiled-pick
+# fixes — was 198 ms in round 3; trace accounting in PERF.md)
+T_MACHINERY_MS = 106.7
 T_HOST_MS = 25.0      # per-step host dispatch (tunnel artifact; ~0 locally)
 EDGES_PER_STEP = 4.9e6
 
