@@ -25,6 +25,28 @@ from .. import constants as C
 from ..types import Block
 
 
+def _spread_invalid(neigh: jax.Array, valid: jax.Array, num_rows: int):
+    """Replace invalid pick indices with DISTINCT row ids.
+
+    Parking every EMPTY pick on row 0 makes the transactions that hit row 0
+    serialize — in the forward gather AND in its VJP's scatter-add
+    (collision_bench.tsv: 46.6 → 35.3 GB/s at 30-45% padding; PERF.md calls
+    the layer-1 backward scatter "collision-degraded" at 54 GB/s).  Spread
+    slots are value-safe both ways: forward rows are masked by the weight
+    term, and the VJP scatters exact zeros for masked lanes.
+    """
+    spread = (
+        jax.lax.broadcasted_iota(jnp.int32, neigh.shape, 0)
+        * (neigh.shape[1] if neigh.ndim > 1 else 1)
+        + (
+            jax.lax.broadcasted_iota(jnp.int32, neigh.shape, 1)
+            if neigh.ndim > 1
+            else 0
+        )
+    ) % max(num_rows, 1)
+    return jnp.where(valid, neigh, spread)
+
+
 def gather_neigh(h_src: jax.Array, block: Block):
     """Gather neighbor features: ``(dst_cap, fanout, feat)`` + mask.
 
@@ -32,7 +54,7 @@ def gather_neigh(h_src: jax.Array, block: Block):
     model layers use :func:`fanout_reduce` instead, which streams over the
     fanout axis."""
     mask = block.mask
-    idx = jnp.where(mask, block.neigh, 0)
+    idx = _spread_invalid(block.neigh, mask, h_src.shape[0])
     nb = jnp.take(h_src, idx, axis=0, mode="clip")
     return nb, mask
 
@@ -60,13 +82,21 @@ def fanout_reduce(h_src: jax.Array, block: Block, weights=None,
     acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else h_src.dtype
     acc = jnp.zeros((dst_cap, h_src.shape[1]), acc_dt)
     denom = jnp.zeros((dst_cap, 1), acc_dt)
+    # EMPTY picks spread over distinct rows (see _spread_invalid): the
+    # per-pass offset k decorrelates passes so no two passes park their
+    # invalid lanes on the same rows either
+    base = jax.lax.broadcasted_iota(jnp.int32, (dst_cap, 1), 0)[:, 0]
+    n_rows = max(h_src.shape[0], 1)
     for k in range(fanout):
         col = block.neigh[:, k]
-        m = (col != C.EMPTY_KEY).astype(acc_dt)[:, None]
+        valid = col != C.EMPTY_KEY
+        m = valid.astype(acc_dt)[:, None]
         if weights is not None:
             m = m * weights[:, k].astype(acc_dt)[:, None]
-        rows = jnp.take(h_src, jnp.where(col != C.EMPTY_KEY, col, 0), axis=0,
-                        mode="clip")
+        rows = jnp.take(
+            h_src, jnp.where(valid, col, (base * fanout + k) % n_rows),
+            axis=0, mode="clip",
+        )
         acc = acc + rows * m
         denom = denom + m
     return acc, denom
@@ -315,7 +345,7 @@ class GATConv(nn.Module):
         wr = jnp.einsum("ihd,hd->ih", kernel, attn_r)
 
         mask = block.mask
-        idx = jnp.where(mask, block.neigh, 0)
+        idx = _spread_invalid(block.neigh, mask, h_src.shape[0])
         # dst-side score term from DST rows only — with direct extract the
         # src table is the whole feature store, so a full-frontier el/er
         # matmul pair would read it twice per layer (bf16-stored features
