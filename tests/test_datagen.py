@@ -164,3 +164,31 @@ def test_datagen_cli_with_cpp_poststeps(tmp_path):
         assert "degree" in ds.cache_rankings
         assert ds.prob_table is not None and ds.alias_table is not None
         assert ds.prob_prefix_table is not None
+
+
+def test_convert_then_train_e2e(tmp_path):
+    """The full real-data path in one test: OGB-format raw fixture →
+    converter → binary dataset dir → Engine trains on it (the switch-over
+    story a reference user follows: datagen/README.md one-command convert,
+    then examples/train.py --root-path/--dataset)."""
+    import jax
+
+    from datagen import convert
+    from xgnn_tpu import RunConfig
+    from xgnn_tpu.engine import Engine
+
+    raw = os.path.join(FIXTURES, "ogb_products_tiny")
+    convert("products", raw, str(tmp_path / "products"))
+    ds = load_dataset(str(tmp_path / "products"))
+
+    cfg = RunConfig(
+        batch_size=32, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_epoch=2, lr=0.01,
+        root_path=str(tmp_path), dataset="products",
+    )
+    eng = Engine(ds, cfg).init()
+    r0 = eng.train_epoch(0)
+    r1 = eng.train_epoch(1)
+    assert np.isfinite(r0["loss"]) and np.isfinite(r1["loss"])
+    acc = eng.evaluate("valid")
+    assert np.isfinite(acc) and 0.0 <= acc <= 1.0

@@ -1194,3 +1194,28 @@ def test_placement_expected_tracks_measured_sweep(small_ds):
         assert measured >= plan.expected_feat_hit - 0.15, (
             frac, measured, plan.expected_feat_hit,
         )
+
+
+def test_presample_static_exact_hierarchical_matches_flat(learn_ds):
+    """The exact closure's counts depend only on the lane batch partition,
+    not the mesh shape: a 2x4 hierarchical mesh (group-local closure +
+    host group-sum) must produce bit-identical per-node counts to the flat
+    8-chip mesh."""
+    from xgnn_tpu.engine.multi_engine import MultiChipEngine
+
+    base = dict(
+        batch_size=64, fanout=(4, 3), num_layer=2, num_hidden=16,
+        model="graphsage", sample_type="khop3", num_worker=NUM_DEV,
+        use_dist_graph=True, part_cache=True, cache_percentage=0.2,
+        cache_policy="presample_static", presample_epoch=1,
+        calibration_batches=0, num_epoch=1, lr=0.01, root_path="/tmp",
+    )
+    flat = MultiChipEngine(learn_ds, RunConfig(**base)).init()
+    hier = MultiChipEngine(
+        learn_ds, RunConfig(**base, num_dcn_groups=2)
+    ).init()
+    assert flat.num_cache_node is None and hier.num_cache_node is None
+    f1 = flat._presample_and_calibrate()
+    f2 = hier._presample_and_calibrate()
+    assert f1 is not None and f2 is not None
+    np.testing.assert_array_equal(f1, f2)

@@ -83,13 +83,23 @@ def _fwd(h_src, neigh, weights, tile):
         jnp.float32 if h_src.dtype == jnp.bfloat16 else h_src.dtype
     )
 
+    # EMPTY picks spread over DISTINCT rows: one shared dummy row
+    # serializes the transactions that hit it (collision_bench.tsv);
+    # spread lanes are masked so values are unchanged
+    n_rows = max(h_src.shape[0], 1)
+    spread = (
+        jax.lax.broadcasted_iota(jnp.int32, neigh_t.shape[1:], 0)
+        * neigh.shape[1]
+        + jax.lax.broadcasted_iota(jnp.int32, neigh_t.shape[1:], 1)
+    ) % n_rows
+
     def body(_, inp):
         nb, w = inp
         m = nb != EMPTY
         mf = m.astype(acc_dt)
         if w is not None:
             mf = mf * w.astype(acc_dt)
-        idx = jnp.where(m, nb, 0)
+        idx = jnp.where(m, nb, spread)
         rows = jnp.take(h_src, idx, axis=0, mode="clip")  # (tile, K, F)
         s = jnp.sum(rows.astype(acc_dt) * mf[..., None], axis=1)
         d = jnp.sum(mf, axis=1, keepdims=True)
@@ -136,8 +146,12 @@ def _bwd(tile, res, g):
             upd.reshape(-1, upd.shape[-1]).astype(g_h.dtype), mode="drop"
         )
         if need_w_grad:
+            spread = (
+                jax.lax.broadcasted_iota(jnp.int32, nb.shape, 0) * k
+                + jax.lax.broadcasted_iota(jnp.int32, nb.shape, 1)
+            ) % max(src_cap, 1)
             rows = jnp.take(
-                h_src, jnp.where(m, nb, 0), axis=0, mode="clip"
+                h_src, jnp.where(m, nb, spread), axis=0, mode="clip"
             )  # (t, K, F)
             gw = jnp.sum(rows * gs[:, None, :], axis=-1) + gd
             gw = gw * m.astype(gw.dtype)
