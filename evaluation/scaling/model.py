@@ -30,17 +30,17 @@ import os
 BENCH_CAPS = (8000, 133376, 1007360, 2449152)
 BENCH_FANOUTS = (15, 10, 5)
 FEAT_BYTES = 4 * 128  # f32, 128-wide
-T_COMPUTE_MS = 181.5  # bench-anchored: 4.9e6 edges / 26.99M edges/s (the
+T_COMPUTE_MS = 170.5  # bench-anchored: 4.9e6 edges / 28.74M edges/s (the
 # round-4 single-store headline; sample + train + extract, today's chip)
 # per-chip exchange MACHINERY (constant-ish in P, measured at P=1 where the
 # wires are free): request planning + response picks (sort-free plan +
 # linearized/tiled compositions), the owner-side draw/gather over
 # seg-clamped request matrices, and the last-layer dedup sort the
 # single-store path avoids via direct extraction.  Round-4 value is the
-# P=1 bench delta: 4.9e6/17.00M = 288.2 ms dist-graph step vs 181.5
+# P=1 bench delta: 4.9e6/17.94M = 273.2 ms dist-graph step vs 170.5
 # single-store (after the collision-spread, seg-clamp, and tiled-pick
 # fixes — was 198 ms in round 3; trace accounting in PERF.md)
-T_MACHINERY_MS = 106.7
+T_MACHINERY_MS = 102.7
 T_HOST_MS = 25.0      # per-step host dispatch (tunnel artifact; ~0 locally)
 EDGES_PER_STEP = 4.9e6
 
