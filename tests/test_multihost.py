@@ -211,3 +211,22 @@ def _run_two_process_engine(tmp_path, worker_src, check_hit=False):
     assert len(losses) == 2 and abs(losses[0] - losses[1]) < 1e-6, losses
     if check_hit:
         assert len(hits) == 2 and abs(hits[0] - hits[1]) < 1e-6, hits
+
+
+STATIC_EXACT_WORKER = TWO_PHASE_WORKER.replace(
+    'localhost:29751', 'localhost:29771'
+).replace(
+    'use_dist_graph=True, dist_graph_percentage=0.7,\n'
+    '    part_cache=True, cache_percentage=0.3, cache_policy="pre_sample",',
+    'use_dist_graph=True,\n'
+    '    part_cache=True, cache_percentage=0.3, cache_policy="presample_static",',
+)
+
+
+def test_two_process_presample_static_exact(tmp_path):
+    """The EXACT all-neighbor presample closure under multi-controller
+    execution: the per-layer psum_scatter of owner partials crosses the
+    process boundary (all-HBM store, so the engine picks
+    make_presample_static_exact_step).  Identical replicated loss/hit on
+    both controllers."""
+    _run_two_process_engine(tmp_path, STATIC_EXACT_WORKER, check_hit=True)
