@@ -32,7 +32,9 @@ def _sync(x):
 def main():
     from xgnn_tpu.ops.pallas_gather import gather_rows_pallas
 
-    n_rows = int(sys.argv[sys.argv.index("--rows") + 1]) if "--rows" in sys.argv else 2_000_000
+    # default divisible by every swept depth (2^21) so no depth trips the
+    # rows_per_step divisibility assert
+    n_rows = int(sys.argv[sys.argv.index("--rows") + 1]) if "--rows" in sys.argv else 2_097_152
     table_rows = 2_449_152
     f = 128
     feat = jnp.asarray(
