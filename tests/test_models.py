@@ -548,3 +548,24 @@ def test_gat_bytes_model_path_selection():
     assert gat_select_path(100, 4, 8, 2, 6, 0, MAT) == "contraction"
     assert gat_select_path(100, 4, 8, 2, 6, 0, 0) == "per_pick"
     assert gat_select_path(100, 4, 8, 2, 6, 10**9, MAT) == "aggregate_first"
+
+
+def test_fanout_reduce_chunk_matches_loop(rng):
+    """impl="chunk" (statically-unrolled chunked gather+reduce) must match
+    the loop impl exactly, with and without weights."""
+    from xgnn_tpu.models.gnn import fanout_reduce
+
+    blk = make_block(rng)
+    h = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+    w = jnp.asarray(rng.random((blk.neigh.shape)).astype(np.float32))
+    for weights in (None, w):
+        s0, d0 = fanout_reduce(h, blk, weights, impl="loop")
+        for impl in ("chunk", "chunk2", "chunk5"):
+            s1, d1 = fanout_reduce(h, blk, weights, impl=impl)
+            np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(s0), rtol=1e-6, atol=1e-6,
+                err_msg=impl,
+            )
+            np.testing.assert_allclose(
+                np.asarray(d1), np.asarray(d0), rtol=1e-6, atol=1e-6,
+            )

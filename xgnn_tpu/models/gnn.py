@@ -76,6 +76,10 @@ def fanout_reduce(h_src: jax.Array, block: Block, weights=None,
         from ..ops.fanout import fanout_reduce_tiled
 
         return fanout_reduce_tiled(h_src, block.neigh, weights)
+    if impl.startswith("chunk"):
+        return _fanout_reduce_chunked(
+            h_src, block, weights, int(impl[5:] or 3)
+        )
     dst_cap, fanout = block.neigh.shape
     # bf16-STORED sources (feat_dtype="bfloat16"): gathers read half the
     # bytes; the accumulator stays float32
@@ -99,6 +103,41 @@ def fanout_reduce(h_src: jax.Array, block: Block, weights=None,
         )
         acc = acc + rows * m
         denom = denom + m
+    return acc, denom
+
+
+def _fanout_reduce_chunked(h_src, block: Block, weights, chunk: int):
+    """Statically-unrolled chunked fanout reduce: one (dst, chunk, F)
+    gather+mask+sum per pass instead of ``chunk`` separate gather+FMA
+    passes — the accumulator round-trips HBM fanout/chunk times instead of
+    fanout times.  Whether this wins depends on whether XLA fuses the
+    chunk gather into the reduction (accumulator traffic /chunk) or
+    materializes the (dst, chunk, F) slab (traffic slightly worse than the
+    loop) — an A/B question, not a derivable one (``XGNN_BENCH_AGG=chunk``;
+    the scan-based tiled impl loses to per-iteration overhead instead).
+    """
+    dst_cap, fanout = block.neigh.shape
+    acc_dt = jnp.float32 if h_src.dtype == jnp.bfloat16 else h_src.dtype
+    acc = jnp.zeros((dst_cap, h_src.shape[1]), acc_dt)
+    denom = jnp.zeros((dst_cap, 1), acc_dt)
+    n_rows = max(h_src.shape[0], 1)
+    base = jax.lax.broadcasted_iota(jnp.int32, (dst_cap, 1), 0)
+    for k0 in range(0, fanout, chunk):
+        cols = block.neigh[:, k0 : k0 + chunk]
+        valid = cols != C.EMPTY_KEY
+        m = valid.astype(acc_dt)
+        if weights is not None:
+            m = m * weights[:, k0 : k0 + chunk].astype(acc_dt)
+        spread = (
+            base * fanout
+            + k0
+            + jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1)
+        ) % n_rows
+        rows = jnp.take(
+            h_src, jnp.where(valid, cols, spread), axis=0, mode="clip"
+        )  # (dst, c, F)
+        acc = acc + jnp.sum(rows.astype(acc_dt) * m[..., None], axis=1)
+        denom = denom + jnp.sum(m, axis=1, keepdims=True)
     return acc, denom
 
 
