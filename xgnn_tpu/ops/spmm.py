@@ -20,6 +20,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# rows appended to gathered tables for masked picks: a BLOCK (not one row)
+# so invalid picks spread over distinct rows — repeated gather indices
+# collide (collision_bench.tsv); 128 rows = one tile column, 64 KB at F=128
+PAD_ROWS = 128
+
 
 @functools.partial(jax.jit, static_argnames=("num_node", "chunk", "mean"))
 def spmm_csr(
@@ -315,9 +320,16 @@ def _bucket_pass(
         from .tiled import take_runs
 
         nbr = take_runs(indices, st, cap)
-        # invalid picks gather the appended zero row — no full-slab mask
-        # multiply pass
-        nbr = jnp.where(valid, nbr, h.shape[0] - 1)
+        # invalid picks gather the appended zero BLOCK — no full-slab mask
+        # multiply pass, and the picks spread over PAD_ROWS distinct rows:
+        # parking them all on one row serializes the transactions that hit
+        # it (collision_bench.tsv — at avg fill 0.87, 13% of picks would
+        # share a single row)
+        spread = (
+            jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0) * cap
+            + jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+        ) % PAD_ROWS
+        nbr = jnp.where(valid, nbr, h.shape[0] - PAD_ROWS + spread)
         rows = jnp.take(h, nbr, axis=0, mode="clip")
         part = rows.sum(axis=1)
         if mean_weight:
@@ -336,8 +348,9 @@ def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
 
     num_node = plan_meta["num_node"]
     f = h.shape[1]
-    h = jnp.concatenate([h, jnp.zeros((1, f), h.dtype)])  # zero row for
-    # masked picks (one 512B append instead of a mask pass per slab)
+    # PAD_ROWS zero rows for masked picks (a 64 KB append instead of a mask
+    # pass per slab; a BLOCK so the picks spread — see _bucket_pass)
+    h = jnp.concatenate([h, jnp.zeros((PAD_ROWS, f), h.dtype)])
     out = jnp.zeros((num_node, f), h.dtype)
     if mean and inv_deg is None:
         raise ValueError("mean=True needs inv_deg (1/deg, 0 for isolated)")
@@ -372,8 +385,9 @@ def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
 def _gat_pass_max(m, indices, el, er, nodes, starts, lens, *,
                   cap, chunk, negative_slope):
     """Pass A of the bucketed segment softmax: per-node running max of
-    leaky_relu(el[v] + er[u]).  ``er`` carries an appended -inf row so
-    masked slots never win the max; padding tasks scatter-drop."""
+    leaky_relu(el[v] + er[u]).  ``er`` carries an appended -inf BLOCK so
+    masked slots never win the max (spread — see _bucket_pass); padding
+    tasks scatter-drop."""
     from .tiled import take_runs
 
     steps = nodes.shape[0] // chunk
@@ -383,8 +397,13 @@ def _gat_pass_max(m, indices, el, er, nodes, starts, lens, *,
         nd, st, ln = sl(nodes), sl(starts), sl(lens)
         j = jnp.arange(cap, dtype=jnp.int32)
         valid = j[None, :] < ln[:, None]
+        spread = (
+            jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0) * cap
+            + jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+        ) % PAD_ROWS
         nbr = jnp.where(
-            valid, take_runs(indices, st, cap), er.shape[0] - 1
+            valid, take_runs(indices, st, cap),
+            er.shape[0] - PAD_ROWS + spread,
         )
         e = jax.nn.leaky_relu(
             jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
@@ -415,8 +434,13 @@ def _gat_pass_sum(carry, indices, feat, el, er, m, nodes, starts, lens, *,
         nd, st, ln = sl(nodes), sl(starts), sl(lens)
         j = jnp.arange(cap, dtype=jnp.int32)
         valid = j[None, :] < ln[:, None]
+        spread = (
+            jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0) * cap
+            + jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+        ) % PAD_ROWS
         nbr = jnp.where(
-            valid, take_runs(indices, st, cap), er.shape[0] - 1
+            valid, take_runs(indices, st, cap),
+            er.shape[0] - PAD_ROWS + spread,
         )
         e = jax.nn.leaky_relu(
             jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
@@ -449,8 +473,11 @@ def gat_aggregate_planned(
     num_node = plan_meta["num_node"]
     n, heads, d = feat.shape
     NEG = jnp.asarray(-1e30, feat.dtype)
-    er_x = jnp.concatenate([er, jnp.full((1, heads), NEG, er.dtype)])
-    feat_x = jnp.concatenate([feat, jnp.zeros((1, heads, d), feat.dtype)])
+    # PAD_ROWS-row pads so masked picks spread over distinct rows
+    er_x = jnp.concatenate([er, jnp.full((PAD_ROWS, heads), NEG, er.dtype)])
+    feat_x = jnp.concatenate(
+        [feat, jnp.zeros((PAD_ROWS, heads, d), feat.dtype)]
+    )
     m = jnp.full((num_node, heads), NEG, feat.dtype)
 
     def padded(b, chunk):
