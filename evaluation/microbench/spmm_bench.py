@@ -118,6 +118,18 @@ def main():
         f"edges_per_s={e/t_plan/1e6:.1f}M"
     )
 
+    # the INFERENCE-default plan: fine_buckets (3*2^k midpoint caps, slab
+    # fill 0.70 -> 0.84 — fewer padded picks for the spread block to absorb)
+    plan_f, meta_f = build_spmm_plan(indptr_host, fine_buckets=True)
+    t_fine = timeit(
+        lambda idx, x: spmm_csr_planned(plan_f, meta_f, idx, x),
+        g.indices, h, iters=5,
+    )
+    print(
+        f"test_result:spmm_planned_fine:ms={t_fine*1e3:.1f}:"
+        f"GBps={bytes_min/t_fine/1e9:.1f}:edges_per_s={e/t_fine/1e6:.1f}M"
+    )
+
     # variant: VMEM-sized slabs (4 MB) — if the (chunk, cap, F) slab was
     # round-tripping HBM before the reduce, small slabs let XLA keep it
     # on-chip
