@@ -276,16 +276,19 @@ def sample_layer_partitioned(
     drawn = _owner_sample(topo, req, fanout, key, sample_type, max_deg)
     resp = jax.lax.all_to_all(drawn, axis_name, 0, 0, tiled=True)
     resp = resp.reshape(num_parts, seg_cap, fanout)
-    safe_owner = jnp.minimum(owner, num_parts - 1)
-    safe_rank = jnp.clip(rank, 0, seg_cap - 1)
+    ok = (owner < num_parts) & (rank < seg_cap)
+    # invalid picks spread over DISTINCT response rows (clamping them all
+    # to one slot serializes its transactions — collision_bench.tsv); the
+    # picked garbage is masked to EMPTY below
+    spread = jnp.arange(owner.shape[0], dtype=jnp.int32) % (
+        num_parts * seg_cap
+    )
     picked = jnp.take(  # (cap, K), request order; 1-D linearized pick
         resp.reshape(num_parts * seg_cap, fanout),
-        safe_owner * seg_cap + safe_rank,
+        jnp.where(ok, owner * seg_cap + rank, spread),
         axis=0,
     )
-    neigh = jnp.where(
-        ((owner < num_parts) & (rank < seg_cap))[:, None], picked, EMPTY
-    )
+    neigh = jnp.where(ok[:, None], picked, EMPTY)
     if has_cold:
         from .ggms import cold_sample_callback
 
