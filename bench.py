@@ -34,7 +34,9 @@ FEAT_DIM = 128
 NUM_CLASS = 47
 BATCH = 8000
 FANOUT = (15, 10, 5)
-EPOCHS = 2  # epoch 0 is warm-up (compile); epoch 1+ measured
+# epoch 0 is warm-up (compile); epoch 1+ measured.  Override for soak runs
+# (throughput-stability evidence over many epochs): XGNN_BENCH_EPOCHS=10
+EPOCHS = int(os.environ.get("XGNN_BENCH_EPOCHS", "2"))
 TRAIN_FRAC = 0.08  # ~196k train nodes (products has 196k)
 
 
