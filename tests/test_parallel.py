@@ -472,6 +472,7 @@ def test_multi_chip_models_and_algorithms(small_ds):
     synthetic.build_alias_tables(small_ds, seed=3)
     cases = [
         ("gcn", "khop0"),
+        ("graphsage", "khop1"),
         ("gat", "khop3"),
         ("graphsage", "weighted_khop"),
         ("graphsage", "weighted_khop_prefix"),
@@ -626,8 +627,8 @@ def test_host_cold_sampler_zero_degree_tail():
     alias = np.array([1, 0], np.int32)
     prefix = np.array([1.0, 2.0], np.float32)
     key = np.zeros(4, np.uint32)
-    for st in (SampleType.KHOP0, SampleType.KHOP3, SampleType.WEIGHTED_KHOP,
-               SampleType.WEIGHTED_KHOP_PREFIX):
+    for st in (SampleType.KHOP0, SampleType.KHOP1, SampleType.KHOP3,
+               SampleType.WEIGHTED_KHOP, SampleType.WEIGHTED_KHOP_PREFIX):
         hs = HostColdSampler(indptr, indices, st, prob_table=prob,
                              alias_table=alias, prob_prefix_table=prefix)
         out = hs(np.array([1, 0], np.int32), key, 3)

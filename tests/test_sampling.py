@@ -49,6 +49,7 @@ def _check_validity(ds, frontier, nbr, require_no_dup=False):
 
 @pytest.mark.parametrize("fn_name,no_dup", [
     ("sample_khop0", True),
+    ("sample_khop1", True),
     ("sample_khop2", False),
     ("sample_khop3", True),
 ])
@@ -96,6 +97,36 @@ def test_khop0_uniformity():
     expected = total / 40
     # each neighbor should be within 15% of the uniform expectation
     assert np.all(np.abs(counts - expected) < 0.15 * expected), counts
+
+
+def test_khop1_is_with_replacement_dedup_not_reservoir():
+    """khop1 must match the reference pipeline (cuda_sampling_khop1.cu:
+    independent with-replacement draws, then duplicate-pair compact) — NOT
+    khop0's reservoir.  Distinguishing statistic: on a hub with deg > K,
+    khop0 always returns exactly K distinct picks, while khop1's draws
+    collide and return fewer with the birthday-problem expectation."""
+    d, K = 12, 8
+    indptr = jnp.asarray(np.array([0, d], np.int32))
+    indices = jnp.asarray(np.arange(100, 100 + d, dtype=np.int32))
+    frontier = jnp.zeros((512,), jnp.int32)
+    n0 = np.asarray(
+        sampling.sample_khop0(indptr, indices, frontier, K, jax.random.key(0))
+    )
+    n1 = np.asarray(
+        sampling.sample_khop1(indptr, indices, frontier, K, jax.random.key(0))
+    )
+    c0 = (n0 != EMPTY_KEY).sum(axis=1)
+    c1 = (n1 != EMPTY_KEY).sum(axis=1)
+    assert np.all(c0 == K)  # reservoir: exactly K distinct
+    # E[#distinct] = d*(1-(1-1/d)^K) ≈ 6.03 for d=12, K=8
+    expect = d * (1 - (1 - 1 / d) ** K)
+    assert abs(c1.mean() - expect) < 0.35, c1.mean()
+    assert np.all(c1 <= K) and np.all(c1 >= 1)
+    # valid picks are still uniform over the neighbor set
+    ids, c = np.unique(n1[n1 != EMPTY_KEY], return_counts=True)
+    assert set(ids.tolist()) <= set(range(100, 100 + d))
+    frac = c / c.sum()
+    assert np.all(np.abs(frac - 1 / d) < 0.25 / d), frac
 
 
 def test_weighted_khop_follows_weights(small_ds):

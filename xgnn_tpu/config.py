@@ -22,10 +22,11 @@ from . import constants
 class SampleType(Enum):
     """Sampling algorithms (reference common.h:50-59)."""
 
-    KHOP0 = "khop0"  # uniform without replacement (vertex-parallel)
-    KHOP1 = "khop1"  # uniform without replacement (sample-parallel);
-    #                  identical semantics to khop0 on TPU — the split was a
-    #                  CUDA thread-mapping choice, not an algorithmic one.
+    KHOP0 = "khop0"  # uniform without replacement (vertex-parallel reservoir)
+    KHOP1 = "khop1"  # sample-parallel with-replacement draw + duplicate-pair
+    #                  compact (cuda_sampling_khop1.cu) — distribution-
+    #                  identical to khop3; the reference split is a CUDA
+    #                  thread-mapping choice, not an algorithmic one.
     KHOP2 = "khop2"  # uniform with replacement, duplicates kept
     KHOP3 = "khop3"  # uniform with replacement + per-node dedup (XGNN default)
     WEIGHTED_KHOP = "weighted_khop"  # alias-table weighted

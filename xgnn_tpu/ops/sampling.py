@@ -7,9 +7,16 @@ TPU-native re-expressions of the reference CUDA sampling kernels
 static shapes, no data-dependent control flow, everything fuses under XLA.
 
 Algorithm parity map:
-- ``khop0/khop1`` (uniform *without* replacement, reservoir per warp in
+- ``khop0`` (uniform *without* replacement, reservoir per warp in
   ``cuda_sampling_khop0.cu:102-153``) → vectorized partial Fisher-Yates:
   exact without-replacement for every degree, O(K^2) fused vector ops.
+- ``khop1`` (sample-parallel: one thread per (node, pick) draws *with*
+  replacement ``cuda_sampling_khop1.cu:42-73``, then a global sort +
+  adjacent-compact removes duplicate (src, dst) pairs, :75-130) →
+  per-pick uniform draw + in-row sort-dedup.  Distribution-identical to
+  khop3 (the reference keeps two kernels only because their GPU thread
+  mappings differ); NOT khop0 — khop1 can return fewer than
+  ``min(K, deg)`` distinct picks when draws collide.
 - ``khop2`` (with replacement, duplicates kept, ``cuda_sampling_khop2.cu``)
   → per-edge uniform picks.
 - ``khop3`` (with replacement + per-node dedup via shared-memory hash set,
@@ -102,10 +109,25 @@ def sample_khop3(
     )
 
 
+def sample_khop1(
+    indptr, indices, frontier, fanout: int, key=None, *, u=None
+) -> jax.Array:
+    """Sample-parallel uniform draw + duplicate-pair removal (reference
+    khop1): each of the K slots draws independently with replacement
+    (``cuda_sampling_khop1.cu:42-73``), then duplicate (src, dst) pairs are
+    compacted away (:75-130).  On TPU the compact is the same in-row
+    sort-dedup khop3 uses — the two reference kernels differ only in GPU
+    thread mapping (per-task curand vs per-node hash set), not in the
+    distribution they produce."""
+    return _dedup_rows(
+        sample_khop2(indptr, indices, frontier, fanout, key, u=u)
+    )
+
+
 def sample_khop0(
     indptr, indices, frontier, fanout: int, key=None, *, u=None
 ) -> jax.Array:
-    """Uniform *without* replacement (reference khop0/khop1).
+    """Uniform *without* replacement (reference khop0).
 
     Vectorized partial Fisher-Yates over the virtual array ``A = [0..d)``:
     at step j draw ``t in [j, d)``, emit ``A[t]``, set ``A[t] = A[j]``.

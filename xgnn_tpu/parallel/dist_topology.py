@@ -200,8 +200,12 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
     )
     uu = draw(mixed)  # (P*S, n_draw, K)
     u = uu[:, 0]
-    if sample_type in (st.KHOP0, st.KHOP1):
+    if sample_type == st.KHOP0:
         out = sampling.sample_khop0(
+            topo.indptr, topo.indices, local_rows, fanout, u=u
+        )
+    elif sample_type == st.KHOP1:
+        out = sampling.sample_khop1(
             topo.indptr, topo.indices, local_rows, fanout, u=u
         )
     elif sample_type == st.KHOP2:

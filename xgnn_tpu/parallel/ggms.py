@@ -246,7 +246,7 @@ class HostColdSampler:
         slot_ctr = v[:, None] * np.int64(k) + np.arange(k, dtype=np.int64)
         u = _hash_u01(slot_ctr, salt)
         st = SampleType
-        if self.sample_type in (st.KHOP0, st.KHOP1):
+        if self.sample_type == st.KHOP0:
             nbr = self._khop0(start, deg, u)
         elif self.sample_type in (
             st.WEIGHTED_KHOP, st.WEIGHTED_KHOP_HASH_DEDUP
@@ -271,7 +271,7 @@ class HostColdSampler:
                 np.maximum(deg - 1, 0)[:, None],
             )
             nbr = self.indices[start[:, None] + off].astype(np.int64)
-            if self.sample_type == st.KHOP3:
+            if self.sample_type in (st.KHOP1, st.KHOP3):
                 nbr = self._dedup_rows(nbr)
         nbr = np.where(deg[:, None] > 0, nbr, EMPTY)
         out[valid] = nbr.astype(np.int32)

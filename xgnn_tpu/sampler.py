@@ -193,8 +193,10 @@ class Sampler:
 def _sample_layer(graph: Graph, frontier, fanout, key, sample_type, rw_params):
     st = SampleType
     weights = None
-    if sample_type in (st.KHOP0, st.KHOP1):
+    if sample_type == st.KHOP0:
         nbr = sampling.sample_khop0(graph.indptr, graph.indices, frontier, fanout, key)
+    elif sample_type == st.KHOP1:
+        nbr = sampling.sample_khop1(graph.indptr, graph.indices, frontier, fanout, key)
     elif sample_type == st.KHOP2:
         nbr = sampling.sample_khop2(graph.indptr, graph.indices, frontier, fanout, key)
     elif sample_type == st.KHOP3:
