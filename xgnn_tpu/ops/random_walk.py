@@ -68,6 +68,18 @@ def sample_random_walk(
     overflow = jnp.zeros((), jnp.bool_)
     for step in range(l):
         key, k_step, k_restart = jax.random.split(key, 3)
+        if step == 0 and tier is None:
+            # every walker stands on its seed: one fanout-w khop2 draw over
+            # the b seeds replaces b*w duplicated per-walker rows — same
+            # distribution (independent uniform per (seed, slot)), and the
+            # w-fold repeated gather indices (which COLLIDE on this chip,
+            # collision_bench.tsv) are gone
+            from .sampling import sample_khop2
+
+            nxt = sample_khop2(indptr, indices, frontier, w, k_step)
+            visits.append(nxt)
+            cur = jnp.where(nxt == EMPTY, seed2d, nxt)
+            continue
         if step > 0:
             # teleport BEFORE the single step (not step-then-redo): each
             # walker takes exactly one uniform step from wherever the

@@ -359,12 +359,27 @@ def sample_random_walk_partitioned(
 
     for step in range(l):
         key, k_step, k_restart = jax.random.split(key, 3)
-        if step > 0:
-            # teleport BEFORE the single step (same distribution as
-            # step-then-redo; ops/random_walk.py) — here it also saves a
-            # whole owner EXCHANGE (two all_to_alls) per walk step
-            restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
-            cur = jnp.where(restart, seed2d, cur)
+        if step == 0:
+            # every walker stands on its seed: ONE fanout-w khop2 exchange
+            # over the b seeds replaces an exchange of b*w duplicated rows —
+            # identical distribution (owner draws are independent per
+            # (request, slot)), a w-times smaller plan/request matrix, and
+            # no w-fold duplicate gather indices on the owner side (repeated
+            # indices COLLIDE on this chip, collision_bench.tsv)
+            nxt, of = sample_layer_partitioned(
+                topo, frontier, w, k_step, axis_name, seg_cap,
+                SampleType.KHOP2, num_cache_node=num_cache_node,
+                host_sampler=host_sampler, cold_cap=cold_cap,
+            )
+            overflow = overflow | of
+            visits.append(nxt)
+            cur = jnp.where(nxt == EMPTY, seed2d, nxt)
+            continue
+        # teleport BEFORE the single step (same distribution as
+        # step-then-redo; ops/random_walk.py) — here it also saves a
+        # whole owner EXCHANGE (two all_to_alls) per walk step
+        restart = jax.random.uniform(k_restart, (b, w)) < restart_prob
+        cur = jnp.where(restart, seed2d, cur)
         nxt, of = step_fn(cur, k_step)
         overflow = overflow | of
         visits.append(nxt)
