@@ -68,18 +68,11 @@ def sample_random_walk(
     overflow = jnp.zeros((), jnp.bool_)
     for step in range(l):
         key, k_step, k_restart = jax.random.split(key, 3)
-        if step == 0 and tier is None:
-            # every walker stands on its seed: one fanout-w khop2 draw over
-            # the b seeds replaces b*w duplicated per-walker rows — same
-            # distribution (independent uniform per (seed, slot)), and the
-            # w-fold repeated gather indices (which COLLIDE on this chip,
-            # collision_bench.tsv) are gone
-            from .sampling import sample_khop2
-
-            nxt = sample_khop2(indptr, indices, frontier, w, k_step)
-            visits.append(nxt)
-            cur = jnp.where(nxt == EMPTY, seed2d, nxt)
-            continue
+        # (step-0 seed-dedup via a fanout-w khop2 draw was A/B'd on chip and
+        # measured NEGATIVE here: 9.42M vs 10.15M — the per-walker flat
+        # gather beats the (b, w) pick composition on the single store.  The
+        # partitioned walk keeps it: there it shrinks the owner EXCHANGE w×
+        # and measured +12%, dist_topology.sample_random_walk_partitioned.)
         if step > 0:
             # teleport BEFORE the single step (not step-then-redo): each
             # walker takes exactly one uniform step from wherever the
