@@ -1,0 +1,210 @@
+"""GGMS crossover, measured half (reference figure10 / large_graph claim):
+at an HBM budget below features+topology, compare
+
+  (i)  SGNN analog — full topology in HBM + REPLICATED feature cache
+       filling the remaining budget, host miss path;
+  (ii) XGNN analog — the placement solver splits the SAME budget between a
+       hot topology prefix (host cold tier) and the feature cache
+       (``--auto-placement``; at P>=2 this is the partitioned store).
+
+Both arms run the real engine on the chip (optionally under
+``hbm_ballast`` so the configuration is genuinely out-of-core) and report
+edges/s, feature hit rate, and BYTES-FROM-HOST per step — the transferable
+metric on this tunnel-attached chip (H2D ~14 MB/s here vs PCIe GB/s on
+directly-attached hardware; see evaluation/tiered/README note).
+
+Also dumps the presample access CDF (``cdf.tsv``) that ``model.py`` uses to
+extend the comparison to P chips — the bytes-model crossover table showing
+where the partitioned store's aggregate-cache advantage overtakes its
+exchange machinery cost (the figure10 factor-analysis claim).
+
+Usage: python evaluation/crossover/run.py [--small] [--budget-gb B]
+       [--ballast-gb G] [--nodes N]
+Appends to results.tsv; writes cdf.tsv.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=2_000_000)
+    ap.add_argument("--degree", type=int, default=10)
+    ap.add_argument("--feat-dim", type=int, default=128)
+    ap.add_argument("--budget-gb", type=float, default=0.4,
+                    help="HBM budget for graph stores (both arms equal)")
+    ap.add_argument("--ballast-gb", type=float, default=0.0,
+                    help="pin HBM to make the budget physically binding")
+    ap.add_argument("--batch-size", type=int, default=8000)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--train-frac", type=float, default=0.05)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+        args.nodes, args.degree, args.feat_dim = 40_000, 8, 32
+        args.batch_size, args.budget_gb = 500, 0.002
+        args.train_frac = 0.2
+
+    import numpy as np
+
+    from xgnn_tpu import RunConfig, synthetic
+    from xgnn_tpu.engine import Engine
+
+    ballast = None
+    if args.ballast_gb > 0:
+        from xgnn_tpu.simulate import hbm_ballast
+
+        ballast = hbm_ballast(args.ballast_gb)
+        print(f"# ballast {args.ballast_gb:.1f} GB pinned", file=sys.stderr)
+
+    t0 = time.time()
+    ds = synthetic.make_synthetic_dataset(
+        num_node=args.nodes, avg_degree=args.degree, feat_dim=args.feat_dim,
+        num_class=32, train_frac=args.train_frac, seed=0, power_law=True,
+        name="crossover_synth",
+    )
+    topo_bytes = ds.num_edge * 4 + (ds.num_node + 1) * 4
+    feat_bytes = ds.num_node * args.feat_dim * 4
+    budget = int(args.budget_gb * (1 << 30))
+    print(
+        f"# graph {ds.num_node}n/{ds.num_edge}e in {time.time()-t0:.0f}s: "
+        f"topo {topo_bytes>>20} MiB feat {feat_bytes>>20} MiB "
+        f"budget {budget>>20} MiB", file=sys.stderr,
+    )
+    assert budget < topo_bytes + feat_bytes, "budget must not cover both"
+
+    out = os.path.join(HERE, "results.tsv")
+    new = not os.path.isfile(out)
+    rowsz = args.feat_dim * 4
+
+    def run_arm(name, config):
+        eng = Engine(ds, config).init()
+        hot = getattr(eng, "_tier", None)
+        topo_dev = (
+            int(np.asarray(ds.indptr)[hot[0]]) * 4 if hot else topo_bytes
+        )
+        ncache = getattr(eng.feature_source, "num_cache", ds.num_node)
+        res = []
+        for epoch in range(args.epochs):
+            r = eng.train_epoch(epoch)
+            res.append(r)
+        r = res[-1]
+        prof = eng.profiler
+        # bytes-from-host per step: feature miss rows + cold topology
+        # response ids (requests are negligible).  Averaged over the
+        # measured epoch's steps.
+        steps = [
+            v for (e, s), v in prof._step_items.items() if e == args.epochs - 1
+        ]
+        miss_b = float(np.mean([v.get("miss_bytes", 0.0) for v in steps])) if steps else 0.0
+        hit = r.get("hit_rate", 1.0)
+        edges = eng.count_epoch_edges() if hasattr(eng, "count_epoch_edges") else None
+        # throughput via sampled edge count (bench.py convention)
+        from xgnn_tpu.engine.shuffler import Shuffler
+        import jax.numpy as jnp
+
+        sh = Shuffler(ds.train_set, args.batch_size, seed=9)
+        ec = []
+        for i, (seeds, n) in enumerate(sh.epoch_batches(1)):
+            if i >= 3:
+                break
+            b = eng.sampler.sample(
+                jnp.asarray(seeds), n, jax.random.fold_in(jax.random.key(7), i)
+            )
+            ec.append(
+                sum(
+                    int((np.asarray(blk.neigh) != 2147483647).sum())
+                    for blk in b.blocks
+                )
+            )
+        steps_per_epoch = max(1, len(ds.train_set) // args.batch_size)
+        edges_epoch = float(np.mean(ec)) * steps_per_epoch
+        eps = edges_epoch / r["time"]
+        cold_frac = 0.0
+        if hot:
+            # fraction of frontier ids beyond the hot prefix, measured on
+            # the last calibration batch's input nodes
+            ids = np.asarray(b.input_nodes)
+            ids = ids[ids != 2147483647]
+            cold_frac = float((ids >= hot[0]).mean()) if len(ids) else 0.0
+        line = (
+            f"{name}\t{ds.num_node}\t{args.budget_gb:.3f}\t"
+            f"{topo_dev>>20}\t{ncache}\t{hit:.4f}\t{miss_b/1e6:.2f}\t"
+            f"{cold_frac:.4f}\t{r['time']:.2f}\t{eps/1e6:.3f}M\t{r['loss']:.4f}"
+        )
+        print(f"# {line}", file=sys.stderr)
+        del eng
+        return line
+
+    # ---- arm (i): SGNN analog — full topology + replicated cache
+    sgnn_cache_bytes = max(budget - topo_bytes, 0)
+    sgnn_pct = min(max(sgnn_cache_bytes / feat_bytes, 0.01), 0.999)
+    cfg_sgnn = RunConfig(
+        batch_size=args.batch_size, fanout=(15, 10, 5), num_layer=3,
+        num_hidden=256 if not args.small else 32, model="graphsage",
+        sample_type="khop3", cache_percentage=sgnn_pct,
+        cache_policy="pre_sample", presample_epoch=1, pipeline=True,
+        num_epoch=args.epochs, calibration_batches=2, root_path="/tmp",
+        dataset="crossover_synth",
+    )
+    line_sgnn = run_arm("sgnn_full_topo", cfg_sgnn)
+
+    # ---- arm (ii): XGNN analog — solver splits the same budget
+    cfg_xgnn = RunConfig(
+        batch_size=args.batch_size, fanout=(15, 10, 5), num_layer=3,
+        num_hidden=256 if not args.small else 32, model="graphsage",
+        sample_type="khop3", auto_placement=True,
+        hbm_budget_gb=args.budget_gb, cache_policy="pre_sample",
+        presample_epoch=1, pipeline=True, num_epoch=args.epochs,
+        calibration_batches=2, root_path="/tmp", dataset="crossover_synth",
+    )
+    line_xgnn = run_arm("xgnn_solved_split", cfg_xgnn)
+
+    # ---- access CDF for model.py (presample frequency, hottest first)
+    from xgnn_tpu.sampler import Sampler, default_capacities
+    from xgnn_tpu.store.presample import presample_ranking
+    from xgnn_tpu.types import Graph
+
+    g = Graph.from_dataset(ds)
+    cfg = cfg_sgnn
+    sampler = Sampler(
+        g, cfg, default_capacities(args.batch_size, (15, 10, 5), ds.num_node)
+    )
+    freq = np.asarray(
+        presample_ranking(sampler, ds.train_set, cfg, ds.num_node)
+    ).astype(np.float64)
+    w = np.sort(freq)[::-1]
+    cdf = np.cumsum(w) / max(w.sum(), 1.0)
+    q = np.linspace(0, len(cdf) - 1, 1001).astype(np.int64)
+    with open(os.path.join(HERE, "cdf.tsv"), "w") as f:
+        f.write("# presample access CDF (fraction of feature reads served "
+                "by the hottest x-fraction of nodes); 1001 quantiles\n")
+        for i, j in enumerate(q):
+            f.write(f"{i/1000:.3f}\t{cdf[j]:.6f}\n")
+
+    with open(out, "a") as f:
+        if new:
+            f.write(
+                "# arm\tnodes\tbudget_gb\ttopo_dev_mib\tcache_rows\t"
+                "feat_hit\thost_bytes_per_step_mb\tcold_topo_frac\t"
+                "epoch_s\tedges_per_s\tloss\n"
+            )
+        f.write(line_sgnn + "\n")
+        f.write(line_xgnn + "\n")
+    print(f"# appended to {out}; wrote cdf.tsv")
+    del ballast
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1000)
     ap.add_argument("--cache-percentage", type=float, default=0.0)
     ap.add_argument("--device-loop", action="store_true", default=False)
+    # hop2: the NON-saturating 2-hop-majority task (round-5; the
+    # planted-signal task hits 99% by epoch 2 and discriminates nothing).
+    # --model mlp is the feature-only control the separation is measured
+    # against (reference figure15b's DGL-baseline role).
+    ap.add_argument("--task", choices=["planted", "hop2"], default="hop2")
+    ap.add_argument("--model", default="graphsage")
+    ap.add_argument("--label-noise", type=float, default=0.15)
     args = ap.parse_args()
 
     import jax
@@ -37,9 +44,11 @@ def main():
         num_node=args.nodes, avg_degree=args.degree, feat_dim=64,
         num_class=16, planted_signal=0.25, train_frac=0.2, seed=0,
     )
+    if args.task == "hop2":
+        synthetic.plant_hop2_task(ds, label_noise=args.label_noise, seed=1)
     config = RunConfig(
         batch_size=args.batch_size, fanout=(10, 5), num_layer=2,
-        num_hidden=128, model="graphsage", sample_type="khop3",
+        num_hidden=128, model=args.model, sample_type="khop3",
         cache_percentage=args.cache_percentage,
         cache_policy="pre_sample",
         num_epoch=args.epochs, root_path="/tmp", pipeline=True,
@@ -49,6 +58,8 @@ def main():
     mode = "cpu" if args.cpu else "tpu"
     if args.device_loop:
         mode += "_dloop"
+    if args.task == "hop2":
+        mode += f"_hop2_{args.model}"
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.tsv"
     )

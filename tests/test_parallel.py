@@ -1192,9 +1192,17 @@ def test_placement_expected_tracks_measured_sweep(small_ds):
         if np.isnan(measured) and plan.cache_percentage >= 1.0:
             measured = 1.0  # full cache: no miss path exists to count
         assert np.isfinite(measured), (frac, plan)
-        assert measured >= plan.expected_feat_hit - 0.15, (
-            frac, measured, plan.expected_feat_hit,
+        # post-init the engine replaces the degree-proxy expectation with
+        # the POSTERIOR estimate from the presample frequency (the same
+        # statistic the cache ranking uses) — the without-replacement khop
+        # family spreads picks wider than degree mass, so the prior proxy
+        # can overestimate by >0.15 (round 5)
+        expected = (
+            eng.placement_plan.expected_feat_hit
+            if getattr(eng, "placement_plan", None) is not None
+            else plan.expected_feat_hit
         )
+        assert measured >= expected - 0.15, (frac, measured, expected, plan)
 
 
 def test_presample_static_exact_hierarchical_matches_flat(learn_ds):

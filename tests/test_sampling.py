@@ -50,8 +50,9 @@ def _check_validity(ds, frontier, nbr, require_no_dup=False):
 @pytest.mark.parametrize("fn_name,no_dup", [
     ("sample_khop0", True),
     ("sample_khop1", True),
-    ("sample_khop2", False),
+    ("sample_khop2", True),
     ("sample_khop3", True),
+    ("sample_uniform_wr", False),
 ])
 def test_khop_validity(g, fn_name, no_dup):
     indptr, indices, ds = g
@@ -97,6 +98,73 @@ def test_khop0_uniformity():
     expected = total / 40
     # each neighbor should be within 15% of the uniform expectation
     assert np.all(np.abs(counts - expected) < 0.15 * expected), counts
+
+
+@pytest.mark.parametrize("fn_name", ["sample_khop2", "sample_khop3"])
+def test_khop23_are_without_replacement(fn_name):
+    """Reference khop2 (in-place Fisher-Yates, cuda_sampling_khop2.cu:78-92)
+    and khop3 (draw-until-K-distinct, cuda_sampling_khop3.cu:126-137) both
+    return exactly min(K, deg) DISTINCT picks — khop0's distribution, not
+    with-replacement+dedup (which loses picks to birthday collisions)."""
+    d, K = 12, 8
+    indptr = jnp.asarray(np.array([0, d], np.int32))
+    indices = jnp.asarray(np.arange(100, 100 + d, dtype=np.int32))
+    frontier = jnp.zeros((512,), jnp.int32)
+    fn = getattr(sampling, fn_name)
+    nbr = np.asarray(fn(indptr, indices, frontier, K, jax.random.key(0)))
+    cnt = (nbr != EMPTY_KEY).sum(axis=1)
+    assert np.all(cnt == K)  # always exactly K distinct on a deg>K hub
+    for row in nbr:
+        row = row[row != EMPTY_KEY]
+        assert len(set(row.tolist())) == len(row)
+    # low degree: every neighbor exactly once
+    d2 = 5
+    indptr2 = jnp.asarray(np.array([0, d2], np.int32))
+    nbr2 = np.asarray(
+        fn(indptr2, indices, frontier, K, jax.random.key(1))
+    )
+    for row in nbr2:
+        assert sorted(row[row != EMPTY_KEY].tolist()) == list(range(100, 105))
+
+
+def test_weighted_hash_dedup_first_k_distinct():
+    """Reference weighted hash-dedup draws alias picks until K DISTINCT
+    (cuda_sampling_weighted_khop_hash_dedup.cu:98-108) and emits the full
+    row when deg <= K (:85-95): picks must be distinct, usually exactly K,
+    and follow the weights in aggregate."""
+    d, K = 10, 4
+    indptr = jnp.asarray(np.array([0, d], np.int32))
+    indices = jnp.asarray(np.arange(100, 100 + d, dtype=np.int32))
+    w = np.linspace(1.0, 4.0, d).astype(np.float32)
+    # uniform-slot alias tables are overkill here: use prob=1 rows (always
+    # take the slot draw) scaled so the slot draw itself is uniform, and
+    # verify the distinct/low-degree contracts; weight-following is covered
+    # by the alias test below via a real alias build
+    prob = jnp.ones((d,), jnp.float32)
+    alias = indices
+    frontier = jnp.zeros((512,), jnp.int32)
+    nbr = np.asarray(
+        sampling.sample_weighted_khop_hash_dedup(
+            indptr, indices, prob, alias, frontier, K, jax.random.key(0)
+        )
+    )
+    cnt = (nbr != EMPTY_KEY).sum(axis=1)
+    # 16 uniform draws over 10 values: K=4 distinct essentially always
+    assert np.all(cnt == K), cnt
+    for row in nbr:
+        row = row[row != EMPTY_KEY]
+        assert len(set(row.tolist())) == len(row)
+        assert set(row.tolist()) <= set(range(100, 100 + d))
+    # deg <= K: full row emitted
+    d2 = 3
+    indptr2 = jnp.asarray(np.array([0, d2], np.int32))
+    nbr2 = np.asarray(
+        sampling.sample_weighted_khop_hash_dedup(
+            indptr2, indices, prob, alias, frontier, K, jax.random.key(1)
+        )
+    )
+    for row in nbr2:
+        assert sorted(row[row != EMPTY_KEY].tolist()) == [100, 101, 102]
 
 
 def test_khop1_is_with_replacement_dedup_not_reservoir():

@@ -22,13 +22,17 @@ from . import constants
 class SampleType(Enum):
     """Sampling algorithms (reference common.h:50-59)."""
 
-    KHOP0 = "khop0"  # uniform without replacement (vertex-parallel reservoir)
-    KHOP1 = "khop1"  # sample-parallel with-replacement draw + duplicate-pair
-    #                  compact (cuda_sampling_khop1.cu) — distribution-
-    #                  identical to khop3; the reference split is a CUDA
-    #                  thread-mapping choice, not an algorithmic one.
-    KHOP2 = "khop2"  # uniform with replacement, duplicates kept
-    KHOP3 = "khop3"  # uniform with replacement + per-node dedup (XGNN default)
+    # khop0/khop2/khop3 are all uniform WITHOUT replacement (khop0: warp
+    # reservoir; khop2's compiled ORIGIN variant: in-place Fisher-Yates;
+    # khop3: draw-until-K-distinct hash set == uniform K-subset) — the
+    # reference keeps three kernels for their GPU thread mappings, the TPU
+    # build shares one Fisher-Yates kernel (ops/sampling.py docstring).
+    KHOP0 = "khop0"
+    KHOP1 = "khop1"  # the outlier: with-replacement draws + duplicate-pair
+    #                  compact (cuda_sampling_khop1.cu) — can return fewer
+    #                  than min(K, deg) distinct picks.
+    KHOP2 = "khop2"
+    KHOP3 = "khop3"  # XGNN default
     WEIGHTED_KHOP = "weighted_khop"  # alias-table weighted
     WEIGHTED_KHOP_PREFIX = "weighted_khop_prefix"  # prefix-sum binary search
     WEIGHTED_KHOP_HASH_DEDUP = "weighted_khop_hash_dedup"  # alias + dedup

@@ -48,6 +48,12 @@ META_NUM_VALID_SET = "NUM_VALID_SET"
 # frontier dedup relies on.
 ID_DTYPE = np.int32
 EMPTY_KEY = np.iinfo(np.int32).max  # 2147483647
+
+# internal sampling-dispatch sentinel (NOT a reference SampleType): uniform
+# WITH replacement — random-walk steps draw this way
+# (cuda_sampling_random_walk.cu's per-walker ``curand % len``), while every
+# uniform khop SampleType is without-replacement (ops/sampling.py docstring)
+UNIFORM_WR = "uniform_wr"
 EMPTY_LABEL = -1
 
 # --- capacity planning -----------------------------------------------------

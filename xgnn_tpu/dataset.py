@@ -114,8 +114,37 @@ def load_dataset(
     feat_dim = meta[C.META_FEAT_DIM]
 
     j = os.path.join
-    # uint32 on disk; viewed as int32 (ids < 2^31 in all supported datasets).
-    indptr = _mmap(j(path, C.INDPTR_FILE), np.uint32, (num_node + 1,)).view(np.int32)
+    # The on-disk id space is uint32 (reference common/constant.h:75
+    # kEmptyKey=0xffffffff): node ids fit int32 (< 2^31 in every reference
+    # dataset), but ``indptr`` holds EDGE OFFSETS up to ``num_edge`` — which
+    # exceeds 2^31 for com-friendster (~3.6B directed) and mag240m-homo
+    # (~2.6B).  Small graphs keep the zero-copy int32 view; big graphs keep
+    # the mmap as uint32 (numpy reads offsets up to 2^32-1 correctly) and
+    # every 64-bit-capable consumer (host sampling, partitioning — which
+    # REBASES per-part offsets back into int32 range) promotes via int64
+    # arithmetic.  Device-side arrays never hold >=2^31 offsets by design:
+    # Graph.from_dataset refuses, partition_csr_host hard-asserts per-part
+    # edge counts (see those docstrings).
+    if num_node + 1 >= 2**31:
+        raise ValueError(
+            f"num_node {num_node} exceeds the uint32-id design point"
+        )
+    if num_edge >= 2**32:
+        raise ValueError(
+            f"num_edge {num_edge} exceeds the uint32 offset space "
+            "(the reference binary format caps at 2^32 edges)"
+        )
+    indptr = _mmap(j(path, C.INDPTR_FILE), np.uint32, (num_node + 1,))
+    if num_edge < 2**31:
+        indptr = indptr.view(np.int32)
+    # consistency hard-assert: catches truncated/corrupt indptr files AND
+    # any 32-bit mis-view of big offsets (touches only two mmap pages)
+    if int(indptr[0]) != 0 or int(indptr[-1]) != num_edge:
+        raise ValueError(
+            f"indptr.bin inconsistent with meta.txt: indptr[0]="
+            f"{int(indptr[0])}, indptr[-1]={int(indptr[-1])}, "
+            f"NUM_EDGE={num_edge}"
+        )
     indices = _mmap(j(path, C.INDICES_FILE), np.uint32, (num_edge,)).view(np.int32)
 
     feat = None
@@ -189,6 +218,10 @@ def save_dataset(ds: Dataset, path: str):
     ``datagen`` converter's output contract, reference datagen/README.md)."""
     os.makedirs(path, exist_ok=True)
     j = os.path.join
+    if ds.num_edge >= 2**32:
+        raise ValueError(
+            f"num_edge {ds.num_edge} does not fit the uint32 offset space"
+        )
 
     def _w(fname, arr, dtype):
         np.ascontiguousarray(arr, dtype=dtype).tofile(j(path, fname))

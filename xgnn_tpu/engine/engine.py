@@ -330,6 +330,22 @@ class Engine:
                     sampler, self.ds.train_set, cfg, self.sampler.num_node
                 )
             self.profiler.log_init("presample_time", time.perf_counter() - t0)
+            if (
+                access_freq is not None
+                and getattr(self, "placement_plan", None) is not None
+            ):
+                # posterior hit expectation: the degree proxy the placement
+                # SOLVED with systematically over-weights hubs (per-batch
+                # dedup counts a hub once however many rows pick it, and the
+                # without-replacement khop family spreads picks wider than
+                # degree mass) — re-estimate from the presample frequency,
+                # the same statistic the cache ranking uses
+                w = np.sort(np.asarray(access_freq, np.float64))[::-1]
+                tot = max(w.sum(), 1.0)
+                k = int(len(w) * self.config.cache_percentage)
+                self.placement_plan.expected_feat_hit = float(
+                    w[:k].sum() / tot
+                )
         ranking = build_ranking(self.ds, cfg, access_freq)
         cls = (
             DynamicTieredFeatureSource

@@ -55,6 +55,7 @@ from ..parallel.exchange import shard_interleaved
 from ..parallel.ggms import (
     HostColdSampler,
     build_cache,
+    clamp_num_cache_node_int32,
     compute_num_cache_node,
 )
 from ..parallel.mesh import DATA_AXIS, DCN_AXIS, make_mesh, make_mesh_2d
@@ -209,25 +210,53 @@ class MultiChipEngine:
         #     a host cold tier (dist_graph_percentage)
         self.num_cache_node = None
         self.host_sampler = None
-        from ..ops.tiled import pad_tile
+        from ..ops.tiled import TILE, pad_tile
 
-        graph = Graph(
-            indptr=jnp.asarray(pad_tile(indptr, fill=int(indptr[-1]))),
-            indices=jnp.asarray(pad_tile(indices)),
-            prob_table=jnp.asarray(pad_tile(prob)) if prob is not None else None,
-            alias_table=jnp.asarray(pad_tile(alias)) if alias is not None else None,
-            prob_prefix_table=(
-                jnp.asarray(pad_tile(prefix)) if prefix is not None else None
-            ),
-            n_node=int(len(indptr) - 1),
-            n_edge=int(len(indices)),
-            n_max_deg=cfg.max_degree,
-        )
+        big_offsets = len(indptr) > 1 and int(indptr[-1]) >= 2**31
+        if big_offsets and not cfg.use_dist_graph:
+            raise ValueError(
+                f"graph has {int(indptr[-1])} edges (>= 2^31): device edge "
+                "offsets are int32 by design — run with use_dist_graph "
+                "(partitioned topology rebases per-part offsets; the int64 "
+                "host tier serves any clamped remainder)"
+            )
+        if big_offsets:
+            # stub single-store graph: used only to shape the state-init
+            # sample (line `Sampler(self._graph, ...)`) — a zero-edge CSR
+            # with the real node count yields identically-shaped batches
+            graph = Graph(
+                indptr=jnp.zeros(
+                    pad_tile(np.zeros(len(indptr), np.int32)).shape, jnp.int32
+                ),
+                indices=jnp.zeros((TILE,), jnp.int32),
+                n_node=int(len(indptr) - 1),
+                n_edge=0,
+                n_max_deg=cfg.max_degree,
+            )
+        else:
+            graph = Graph(
+                indptr=jnp.asarray(pad_tile(indptr, fill=int(indptr[-1]))),
+                indices=jnp.asarray(pad_tile(indices)),
+                prob_table=jnp.asarray(pad_tile(prob)) if prob is not None else None,
+                alias_table=jnp.asarray(pad_tile(alias)) if alias is not None else None,
+                prob_prefix_table=(
+                    jnp.asarray(pad_tile(prefix)) if prefix is not None else None
+                ),
+                n_node=int(len(indptr) - 1),
+                n_edge=int(len(indices)),
+                n_max_deg=cfg.max_degree,
+            )
         if cfg.use_dist_graph:
+            ncn = len(indptr) - 1
             if cfg.dist_graph_percentage < 1.0:
-                self.num_cache_node = compute_num_cache_node(
+                ncn = compute_num_cache_node(
                     indptr, cfg.dist_graph_percentage
                 )
+            # >= 2^31-edge graphs: clamp the hot prefix so every part's
+            # REBASED offsets fit int32 (no-op otherwise)
+            ncn = clamp_num_cache_node_int32(indptr, ncn, p)
+            if ncn < len(indptr) - 1:
+                self.num_cache_node = ncn
                 self.host_sampler = HostColdSampler(
                     indptr, indices, cfg.sample_type,
                     prob_table=prob, alias_table=alias,

@@ -523,11 +523,30 @@ class GATConv(nn.Module):
         return acc, s
 
 
+class MLPConv(nn.Module):
+    """Feature-only control: ignores the sampled neighborhood entirely
+    (``W h_dst + b``).  Not a reference model — the baseline the hop2
+    synthetic task (synthetic.plant_hop2_task) is calibrated against: a GNN
+    whose aggregation path works must beat this by a wide margin, while an
+    aggregation bug collapses the GNN onto it."""
+
+    out_dim: int
+    param_dtype: Any = jnp.float32
+    agg_impl: str = "loop"  # zoo-interface parity; unused
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jax.Array) -> jax.Array:
+        return nn.Dense(
+            self.out_dim, use_bias=True, param_dtype=self.param_dtype
+        )(_take_dst(block, h_src))
+
+
 _CONVS = {
     "graphsage": SAGEConv,
     "gcn": GCNConv,
     "gat": GATConv,
     "pinsage": PinSAGEConv,
+    "mlp": MLPConv,
 }
 
 

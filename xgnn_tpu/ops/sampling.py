@@ -6,29 +6,50 @@ TPU-native re-expressions of the reference CUDA sampling kernels
 ``(B,)`` to a dense neighbor matrix ``(B, K)`` with ``EMPTY_KEY`` padding —
 static shapes, no data-dependent control flow, everything fuses under XLA.
 
-Algorithm parity map:
-- ``khop0`` (uniform *without* replacement, reservoir per warp in
-  ``cuda_sampling_khop0.cu:102-153``) → vectorized partial Fisher-Yates:
-  exact without-replacement for every degree, O(K^2) fused vector ops.
-- ``khop1`` (sample-parallel: one thread per (node, pick) draws *with*
-  replacement ``cuda_sampling_khop1.cu:42-73``, then a global sort +
-  adjacent-compact removes duplicate (src, dst) pairs, :75-130) →
-  per-pick uniform draw + in-row sort-dedup.  Distribution-identical to
-  khop3 (the reference keeps two kernels only because their GPU thread
-  mappings differ); NOT khop0 — khop1 can return fewer than
-  ``min(K, deg)`` distinct picks when draws collide.
-- ``khop2`` (with replacement, duplicates kept, ``cuda_sampling_khop2.cu``)
-  → per-edge uniform picks.
-- ``khop3`` (with replacement + per-node dedup via shared-memory hash set,
-  ``cuda_sampling_khop3.cu:40-144``) → khop2 + in-row sort-dedup (duplicate
-  picks masked to ``EMPTY_KEY``).
-- ``weighted_khop`` (alias tables, ``cuda_sampling_weighted_khop.cu``) →
-  vectorized alias draw.
-- ``weighted_khop_prefix`` (prefix-sum binary search,
+Algorithm parity map (distributions verified against the reference kernels,
+not their names — three of the four uniform kernels are the SAME
+distribution, uniform *without* replacement over the neighbor set, and only
+khop1 draws with replacement):
+
+- ``khop0`` (per-warp reservoir, ``cuda_sampling_khop0.cu:102-153``):
+  uniform K-subset; all neighbors when ``deg <= K``.
+- ``khop2`` (the shipped ``ORIGIN_KHOP2`` variant is an IN-PLACE partial
+  Fisher-Yates over the shared ``indices`` rows,
+  ``cuda_sampling_khop2.cu:36,78-92``): uniform K-subset; all neighbors
+  when ``deg <= K``.  (The name suggests with-replacement; the compiled
+  kernel is not.)
+- ``khop3`` (shared-memory hash set drawing ``while (count < fanout)``
+  until K DISTINCT offsets are collected, ``cuda_sampling_khop3.cu:126-137``;
+  all neighbors when ``deg <= K``, :113-124): first-K-distinct of uniform
+  with-replacement draws == uniform K-subset (each new distinct pick is
+  uniform over the remaining neighbors).  khop3 is khop0's distribution with
+  a GGMS-friendlier GPU thread mapping — NOT khop2+dedup, which can return
+  fewer than ``min(K, deg)`` picks.
+  All three therefore share one TPU kernel: vectorized partial Fisher-Yates
+  (exact without-replacement for every degree, O(K^2) fused vector ops).
+- ``khop1`` (one thread per (node, pick) draws *with* replacement
+  ``cuda_sampling_khop1.cu:42-73``, then a radix sort + adjacent-compact
+  removes duplicate (src, dst) pairs, :75-130,167-196) → per-pick uniform
+  draw + in-row sort-dedup.  The with-replacement OUTLIER: it returns fewer
+  than ``min(K, deg)`` distinct picks when draws collide (birthday
+  statistic), and never emits a full low-degree row deterministically.
+- ``weighted_khop`` (alias tables, ``cuda_sampling_weighted_khop.cu:55-77``)
+  → vectorized alias draw, duplicates kept.  (The reference compacts only
+  ADJACENT duplicate pairs without sorting first, :78-97 — effectively
+  keep-all; we keep all.)
+- ``weighted_khop_prefix`` (prefix-sum-table binary search,
   ``cuda_sampling_weighted_khop_prefix.cu``) → branchless fixed-depth binary
-  search per pick.
-- ``weighted_khop_hash_dedup`` → alias draw + in-row dedup.
-- random walk + top-K frequency lives in ``random_walk.py``.
+  search per pick (with replacement, as the reference).
+- ``weighted_khop_hash_dedup`` (hash set drawing alias picks ``for (;
+  selected_unique < fanout;)`` until K DISTINCT,
+  ``cuda_sampling_weighted_khop_hash_dedup.cu:98-108``; all neighbors when
+  ``deg <= fanout``, :85-95): weighted successive sampling without
+  replacement.  TPU kernel: first-K-distinct over ``rounds * K`` bounded
+  alias draws (exact while enough draws land distinct; the reference loops
+  unboundedly — deviation documented in PARITY.md).
+- random walk + top-K frequency lives in ``random_walk.py``; its per-step
+  draws are uniform WITH replacement (:func:`sample_uniform_wr`), matching
+  the walk kernel's independent ``curand % len`` steps.
 """
 
 from __future__ import annotations
@@ -74,10 +95,15 @@ def _mask_rows(nbr: jax.Array, deg: jax.Array) -> jax.Array:
     return jnp.where(deg[:, None] > 0, nbr, EMPTY)
 
 
-def sample_khop2(
+def sample_uniform_wr(
     indptr, indices, frontier, fanout: int, key=None, *, u=None
 ) -> jax.Array:
-    """Uniform with replacement; duplicates kept (reference khop2).
+    """Uniform WITH replacement; duplicates kept.
+
+    The shared with-replacement core: khop1's draw stage and random-walk
+    steps (each walker's ``curand % len``,
+    ``cuda_sampling_random_walk.cu``).  Not a reference SampleType by
+    itself — the reference's khop2 is Fisher-Yates, see module docstring.
 
     ``u``: optional pre-drawn ``(B, fanout)`` uniforms — the partitioned
     owner path derives them per REQUEST (key x node x slot) so draws are
@@ -92,21 +118,13 @@ def sample_khop2(
 
 
 def _dedup_rows(nbr: jax.Array) -> jax.Array:
-    """Mask duplicate picks within each row (khop3's per-node hash set)."""
+    """Mask duplicate picks within each row (khop1's duplicate-pair
+    compact)."""
     s = jnp.sort(nbr, axis=1)  # EMPTY sorts last
     dup = jnp.concatenate(
         [jnp.zeros((s.shape[0], 1), jnp.bool_), s[:, 1:] == s[:, :-1]], axis=1
     )
     return jnp.where(dup, EMPTY, s)
-
-
-def sample_khop3(
-    indptr, indices, frontier, fanout: int, key=None, *, u=None
-) -> jax.Array:
-    """With replacement + per-node dedup (reference khop3, XGNN default)."""
-    return _dedup_rows(
-        sample_khop2(indptr, indices, frontier, fanout, key, u=u)
-    )
 
 
 def sample_khop1(
@@ -115,19 +133,20 @@ def sample_khop1(
     """Sample-parallel uniform draw + duplicate-pair removal (reference
     khop1): each of the K slots draws independently with replacement
     (``cuda_sampling_khop1.cu:42-73``), then duplicate (src, dst) pairs are
-    compacted away (:75-130).  On TPU the compact is the same in-row
-    sort-dedup khop3 uses — the two reference kernels differ only in GPU
-    thread mapping (per-task curand vs per-node hash set), not in the
-    distribution they produce."""
+    sorted and compacted away (:75-130,167-196).  The with-replacement
+    outlier of the khop family — returns fewer than ``min(K, deg)`` picks
+    when draws collide (birthday statistic)."""
     return _dedup_rows(
-        sample_khop2(indptr, indices, frontier, fanout, key, u=u)
+        sample_uniform_wr(indptr, indices, frontier, fanout, key, u=u)
     )
 
 
 def sample_khop0(
     indptr, indices, frontier, fanout: int, key=None, *, u=None
 ) -> jax.Array:
-    """Uniform *without* replacement (reference khop0).
+    """Uniform *without* replacement (reference khop0's reservoir; also the
+    distribution of reference khop2 (in-place shuffle) and khop3
+    (draw-until-K-distinct) — see module docstring).
 
     Vectorized partial Fisher-Yates over the virtual array ``A = [0..d)``:
     at step j draw ``t in [j, d)``, emit ``A[t]``, set ``A[t] = A[j]``.
@@ -170,6 +189,31 @@ def sample_khop0(
     return jnp.where(j_idx < deg[:, None], nbr, EMPTY)
 
 
+def sample_khop2(
+    indptr, indices, frontier, fanout: int, key=None, *, u=None
+) -> jax.Array:
+    """Uniform without replacement (the reference's compiled khop2 is an
+    in-place partial Fisher-Yates, ``cuda_sampling_khop2.cu:36,78-92`` —
+    NOT with-replacement despite the historical name).  Shares the
+    :func:`sample_khop0` kernel; with-replacement draws live in
+    :func:`sample_uniform_wr`."""
+    return sample_khop0(indptr, indices, frontier, fanout, key, u=u)
+
+
+def sample_khop3(
+    indptr, indices, frontier, fanout: int, key=None, *, u=None
+) -> jax.Array:
+    """Uniform without replacement (reference khop3, the XGNN default,
+    draws ``while (count < fanout)`` until K DISTINCT offsets are in its
+    shared-memory hash set, ``cuda_sampling_khop3.cu:126-137`` — the
+    first-K-distinct of with-replacement draws IS the uniform K-subset
+    distribution, and low-degree rows emit every neighbor, :113-124).  The
+    reference keeps three uniform-without-replacement kernels because their
+    GPU thread mappings differ (khop3's group-of-threads mapping coalesces
+    GGMS remote reads); on TPU one Fisher-Yates kernel serves all three."""
+    return sample_khop0(indptr, indices, frontier, fanout, key, u=u)
+
+
 def sample_weighted_khop(
     indptr, indices, prob_table, alias_table, frontier, fanout: int,
     key=None, *, u=None, coin=None,
@@ -198,18 +242,66 @@ def sample_weighted_khop(
     return _mask_rows(nbr, deg)
 
 
+HASH_DEDUP_ROUNDS = 4  # bounded-rejection rounds (rounds*K alias draws)
+
+
 def sample_weighted_khop_hash_dedup(
     indptr, indices, prob_table, alias_table, frontier, fanout: int,
-    key=None, *, u=None, coin=None,
+    key=None, *, u=None, coin=None, rounds: int = HASH_DEDUP_ROUNDS,
 ) -> jax.Array:
-    """Alias draw + per-node dedup (reference
-    ``cuda_sampling_weighted_khop_hash_dedup.cu``)."""
-    return _dedup_rows(
-        sample_weighted_khop(
-            indptr, indices, prob_table, alias_table, frontier, fanout, key,
-            u=u, coin=coin,
-        )
+    """Weighted successive sampling without replacement (reference
+    ``cuda_sampling_weighted_khop_hash_dedup.cu``): the CUDA kernel draws
+    alias picks ``for (; selected_unique < fanout;)`` until K DISTINCT
+    neighbors are in its hash set (:98-108) and emits the FULL row when
+    ``deg <= fanout`` (:85-95).
+
+    TPU re-expression: ``rounds * K`` alias draws per node, then the
+    first-K-distinct *in draw order* — identical distribution whenever K
+    distinct values appear among the bounded draws (the reference loops
+    unboundedly; under extreme weight skew this kernel can return fewer
+    than K — deviation recorded in PARITY.md).  First-occurrence selection
+    is two ``lax.sort`` passes over the M=rounds*K draws per row: stable
+    (value, slot) sort marks group leaders, a second sort by first-slot
+    restores draw order.
+
+    ``u``/``coin``: optional pre-drawn ``(B, rounds*fanout)`` uniforms from
+    the partitioned owner path."""
+    b = frontier.shape[0]
+    m = rounds * fanout
+    _, start, deg, _ = _frontier_meta(indptr, frontier)
+    if u is None:
+        k_slot, k_coin = jax.random.split(key)
+        u = jax.random.uniform(k_slot, (b, m))
+        coin = jax.random.uniform(k_coin, (b, m))
+    slot = jnp.minimum(
+        jnp.floor(u * deg[:, None]).astype(jnp.int32),
+        jnp.maximum(deg - 1, 0)[:, None],
     )
+    edge = start[:, None] + slot
+    take_alias = coin >= take_1d(prob_table, edge)
+    val = jnp.where(
+        take_alias, take_1d(alias_table, edge), take_1d(indices, edge)
+    )
+    # first-occurrence rank per distinct value, then first K in draw order
+    slot_ids = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
+    )
+    val_s, idx_s = jax.lax.sort((val, slot_ids), dimension=1, num_keys=2)
+    lead = jnp.concatenate(
+        [jnp.ones((b, 1), jnp.bool_), val_s[:, 1:] != val_s[:, :-1]], axis=1
+    )
+    first_slot = jnp.where(lead, idx_s, m)  # non-leaders sort to the back
+    ord_slot, ord_val = jax.lax.sort((first_slot, val_s), dimension=1,
+                                     num_keys=1)
+    picked = jnp.where(ord_slot[:, :fanout] < m, ord_val[:, :fanout], EMPTY)
+    # deg <= K: the reference emits the full neighbor row
+    j = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+    full = take_1d(
+        indices, start[:, None] + jnp.minimum(j, jnp.maximum(deg - 1, 0)[:, None])
+    )
+    full = jnp.where(j < deg[:, None], full, EMPTY)
+    out = jnp.where((deg <= fanout)[:, None], full, picked)
+    return _mask_rows(out, deg)
 
 
 def _coarse_pos(j, deg, lanes: int):

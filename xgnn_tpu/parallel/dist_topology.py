@@ -98,10 +98,25 @@ def partition_csr_host(
     max_edges = 0
     for p in range(num_parts):
         own = np.arange(p, num_cache_node, num_parts)
-        degs = indptr[own + 1] - indptr[own]
+        # int64 arithmetic: the INPUT indptr may be uint32/int64 with
+        # offsets >= 2^31 (big-graph loader path, dataset.py); the OUTPUT is
+        # rebased per-part offsets that must fit int32 for the device
+        degs = indptr[own + 1].astype(np.int64) - indptr[own].astype(np.int64)
         li = np.zeros(iptr_len, np.int64)
         li[1 : len(own) + 1] = np.cumsum(degs)
         li[len(own) + 1 :] = li[len(own)] if len(own) else 0
+        part_edges = int(li[len(own)]) if len(own) else 0
+        if part_edges >= 2**31:
+            # refuse BEFORE materializing anything: device-side topology
+            # arrays are int32 by design (TPU-native — JAX x64 off).  At
+            # P >= 2 every reference dataset's per-part share fits; at P=1
+            # the engine serves >= 2^31-edge graphs through the int64 host
+            # tier by clamping num_cache_node (clamp_num_cache_node_int32).
+            raise ValueError(
+                f"partition {p} would own {part_edges} edges (>= 2^31): "
+                "increase num_parts or lower num_cache_node (host tier "
+                "serves the remainder via int64 offsets)"
+            )
         slices = [slice(int(indptr[v]), int(indptr[v + 1])) for v in own]
         le = (
             np.concatenate([indices[s] for s in slices])
@@ -183,16 +198,19 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
     )[:, None]
 
     st = SampleType
-    weighted_alias = sample_type in (
-        st.WEIGHTED_KHOP, st.WEIGHTED_KHOP_HASH_DEDUP
-    )
+    hash_dedup = sample_type == st.WEIGHTED_KHOP_HASH_DEDUP
     # per-request uniforms in ONE vmapped threefry pass (elementwise u32
     # rounds — fuses fully); the sampler then runs BATCHED over the whole
     # flat request vector.  Round 2 vmapped the entire kernel per request
     # ((1,)-frontier inner calls) which serialized the gathers and left the
     # VPU idle — this keeps only the RNG per-request, as required for
     # chip-independent draws, and the gathers stay wide.
-    n_draw = 2 if weighted_alias else 1
+    if hash_dedup:
+        n_draw = 2 * sampling.HASH_DEDUP_ROUNDS  # rounds*K slots + coins
+    elif sample_type == st.WEIGHTED_KHOP:
+        n_draw = 2
+    else:
+        n_draw = 1
     draw = jax.vmap(
         lambda kd: jax.random.uniform(
             jax.random.wrap_key_data(kd), (n_draw, fanout)
@@ -200,7 +218,11 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
     )
     uu = draw(mixed)  # (P*S, n_draw, K)
     u = uu[:, 0]
-    if sample_type == st.KHOP0:
+    if sample_type == C.UNIFORM_WR:
+        out = sampling.sample_uniform_wr(
+            topo.indptr, topo.indices, local_rows, fanout, u=u
+        )
+    elif sample_type == st.KHOP0:
         out = sampling.sample_khop0(
             topo.indptr, topo.indices, local_rows, fanout, u=u
         )
@@ -216,15 +238,19 @@ def _owner_sample(topo: LocalTopo, req_ids, fanout, key, sample_type,
         out = sampling.sample_khop3(
             topo.indptr, topo.indices, local_rows, fanout, u=u
         )
-    elif weighted_alias:
-        wfn = (
-            sampling.sample_weighted_khop
-            if sample_type == st.WEIGHTED_KHOP
-            else sampling.sample_weighted_khop_hash_dedup
-        )
-        out = wfn(
+    elif sample_type == st.WEIGHTED_KHOP:
+        out = sampling.sample_weighted_khop(
             topo.indptr, topo.indices, topo.prob, topo.alias,
             local_rows, fanout, u=u, coin=uu[:, 1],
+        )
+    elif hash_dedup:
+        r = sampling.HASH_DEDUP_ROUNDS
+        n = uu.shape[0]
+        out = sampling.sample_weighted_khop_hash_dedup(
+            topo.indptr, topo.indices, topo.prob, topo.alias,
+            local_rows, fanout,
+            u=uu[:, :r].reshape(n, r * fanout),
+            coin=uu[:, r:].reshape(n, r * fanout),
         )
     elif sample_type == st.WEIGHTED_KHOP_PREFIX:
         out = sampling.sample_weighted_khop_prefix(
@@ -312,7 +338,7 @@ def _walk_step_partitioned(
     (the per-element remote reads of cuda_sampling_random_walk.cu batched
     into an exchange)."""
     nbr, of = sample_layer_partitioned(
-        topo, cur, 1, key, axis_name, seg_cap, SampleType.KHOP2,
+        topo, cur, 1, key, axis_name, seg_cap, C.UNIFORM_WR,
         num_cache_node=num_cache_node, host_sampler=host_sampler,
         cold_cap=cold_cap,
     )
@@ -360,15 +386,16 @@ def sample_random_walk_partitioned(
     for step in range(l):
         key, k_step, k_restart = jax.random.split(key, 3)
         if step == 0:
-            # every walker stands on its seed: ONE fanout-w khop2 exchange
-            # over the b seeds replaces an exchange of b*w duplicated rows —
-            # identical distribution (owner draws are independent per
-            # (request, slot)), a w-times smaller plan/request matrix, and
-            # no w-fold duplicate gather indices on the owner side (repeated
-            # indices COLLIDE on this chip, collision_bench.tsv)
+            # every walker stands on its seed: ONE fanout-w with-replacement
+            # exchange over the b seeds replaces an exchange of b*w
+            # duplicated rows — identical distribution (owner draws are
+            # independent per (request, slot)), a w-times smaller
+            # plan/request matrix, and no w-fold duplicate gather indices on
+            # the owner side (repeated indices COLLIDE on this chip,
+            # collision_bench.tsv)
             nxt, of = sample_layer_partitioned(
                 topo, frontier, w, k_step, axis_name, seg_cap,
-                SampleType.KHOP2, num_cache_node=num_cache_node,
+                C.UNIFORM_WR, num_cache_node=num_cache_node,
                 host_sampler=host_sampler, cold_cap=cold_cap,
             )
             overflow = overflow | of

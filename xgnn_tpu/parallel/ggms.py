@@ -51,10 +51,52 @@ def compute_num_cache_node(indptr: np.ndarray, percentage: float) -> int:
     num_node = len(indptr) - 1
     if percentage >= 1.0:
         return num_node
-    num_cache_edge = int(indptr[-1] * percentage)
+    num_cache_edge = int(int(indptr[-1]) * percentage)
     return int(
         min(np.searchsorted(indptr, num_cache_edge, side="left"), num_node)
     )
+
+
+INT32_EDGE_LIMIT = 2**31 - 1  # device-side edge offsets must fit int32
+
+
+def clamp_num_cache_node_int32(
+    indptr: np.ndarray, num_cache_node: int, num_parts: int = 1
+) -> int:
+    """Largest prefix ``<= num_cache_node`` whose interleaved per-part edge
+    share fits int32 device offsets.
+
+    Device topology arrays are int32 by TPU-first design (JAX x64 off;
+    ``partition_csr_host`` REBASES per-part offsets so each part only needs
+    to address its own edges).  For ``>= 2^31``-edge graphs at small P the
+    hot prefix is clamped here and the remainder is served by the int64
+    host tier (``HostColdSampler`` computes offsets in int64 — the
+    reference's pinned-host whole-graph partition slot, dist_graph.h:141-151,
+    whose uint32 offsets cover the full 4.29B-edge id space)."""
+    num_cache_node = int(num_cache_node)
+    if int(indptr[num_cache_node]) <= INT32_EDGE_LIMIT:
+        return num_cache_node  # whole prefix fits → every part fits
+    deg = (
+        indptr[1 : num_cache_node + 1].astype(np.int64)
+        - indptr[:num_cache_node].astype(np.int64)
+    )
+    cums = [np.cumsum(deg[p::num_parts]) for p in range(num_parts)]
+
+    def fits(ncn: int) -> bool:
+        for p in range(num_parts):
+            k = max(0, -(-(ncn - p) // num_parts))  # own rows p, p+P, ... < ncn
+            if k > 0 and int(cums[p][k - 1]) > INT32_EDGE_LIMIT:
+                return False
+        return True
+
+    lo, hi = 0, num_cache_node
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if fits(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 # --------------------------------------------------------------------------
@@ -246,11 +288,11 @@ class HostColdSampler:
         slot_ctr = v[:, None] * np.int64(k) + np.arange(k, dtype=np.int64)
         u = _hash_u01(slot_ctr, salt)
         st = SampleType
-        if self.sample_type == st.KHOP0:
+        if self.sample_type in (st.KHOP0, st.KHOP2, st.KHOP3):
+            # all three reference kernels are uniform WITHOUT replacement
+            # (ops/sampling.py module docstring)
             nbr = self._khop0(start, deg, u)
-        elif self.sample_type in (
-            st.WEIGHTED_KHOP, st.WEIGHTED_KHOP_HASH_DEDUP
-        ):
+        elif self.sample_type == st.WEIGHTED_KHOP:
             slot = np.minimum(
                 (u * deg[:, None]).astype(np.int64),
                 np.maximum(deg - 1, 0)[:, None],
@@ -261,17 +303,17 @@ class HostColdSampler:
             nbr = np.where(
                 take_alias, self.alias_table[edge], self.indices[edge]
             ).astype(np.int64)
-            if self.sample_type == st.WEIGHTED_KHOP_HASH_DEDUP:
-                nbr = self._dedup_rows(nbr)
+        elif self.sample_type == st.WEIGHTED_KHOP_HASH_DEDUP:
+            nbr = self._weighted_wor(start, deg, v, salt, k)
         elif self.sample_type == st.WEIGHTED_KHOP_PREFIX:
             nbr = self._prefix(start, deg, u)
-        else:  # khop2 / khop3 / random-walk steps (uniform with replacement)
+        else:  # khop1 / random-walk steps: uniform WITH replacement
             off = np.minimum(
                 (u * deg[:, None]).astype(np.int64),
                 np.maximum(deg - 1, 0)[:, None],
             )
             nbr = self.indices[start[:, None] + off].astype(np.int64)
-            if self.sample_type in (st.KHOP1, st.KHOP3):
+            if self.sample_type == st.KHOP1:
                 nbr = self._dedup_rows(nbr)
         nbr = np.where(deg[:, None] > 0, nbr, EMPTY)
         out[valid] = nbr.astype(np.int32)
@@ -326,6 +368,44 @@ class HostColdSampler:
         return np.where(
             deg[:, None] > 0, self.indices[base + off].astype(np.int64), EMPTY
         )
+
+    def _weighted_wor(self, start, deg, v, salt, k):
+        """First-K-distinct over bounded alias draws, mirroring
+        ops.sampling.sample_weighted_khop_hash_dedup (reference
+        cuda_sampling_weighted_khop_hash_dedup.cu draw-until-K-distinct;
+        full row when deg <= K)."""
+        from ..ops.sampling import HASH_DEDUP_ROUNDS
+
+        m = HASH_DEDUP_ROUNDS * k
+        n = len(v)
+        ctr = v[:, None] * np.int64(m) + np.arange(m, dtype=np.int64)
+        u = _hash_u01(ctr, salt)
+        coin = _hash_u01(ctr, salt ^ np.uint64(0xC01))
+        slot = np.minimum(
+            (u * deg[:, None]).astype(np.int64),
+            np.maximum(deg - 1, 0)[:, None],
+        )
+        edge = start[:, None] + slot
+        take_alias = coin >= self.prob_table[edge]
+        val = np.where(
+            take_alias, self.alias_table[edge], self.indices[edge]
+        ).astype(np.int64)
+        # stable (value, slot) sort via packed keys → group leaders carry
+        # their first draw slot → re-sort by first slot = draw order
+        idx = np.arange(m, dtype=np.int64)[None, :]
+        pack = np.sort(val * m + idx, axis=1)
+        val_s, idx_s = pack // m, pack % m
+        lead = np.concatenate(
+            [np.ones((n, 1), bool), val_s[:, 1:] != val_s[:, :-1]], axis=1
+        )
+        first_slot = np.where(lead, idx_s, m)
+        pack2 = np.sort(first_slot * (2**31) + val_s, axis=1)[:, :k]
+        picked = np.where(pack2 // (2**31) < m, pack2 % (2**31), EMPTY)
+        j = np.arange(k, dtype=np.int64)[None, :]
+        full_off = np.minimum(j, np.maximum(deg - 1, 0)[:, None])
+        full = self.indices[start[:, None] + full_off].astype(np.int64)
+        full = np.where(j < deg[:, None], full, EMPTY)
+        return np.where((deg <= k)[:, None], full, picked)
 
     @staticmethod
     def _dedup_rows(nbr):

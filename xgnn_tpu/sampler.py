@@ -78,15 +78,22 @@ def make_tiered_topology(
     """
     from types import SimpleNamespace
 
-    from .parallel.ggms import HostColdSampler, compute_num_cache_node
+    from .parallel.ggms import (
+        HostColdSampler,
+        clamp_num_cache_node_int32,
+        compute_num_cache_node,
+    )
 
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
     ncn = compute_num_cache_node(indptr, percentage)
+    # >= 2^31-edge graphs (uint32 loader indptr): the device prefix is
+    # clamped so its offsets fit int32; the int64 host tier serves the rest
+    ncn = clamp_num_cache_node_int32(indptr, ncn, 1)
     e = int(indptr[ncn])
     sl = lambda t: None if t is None else np.asarray(t)[:e]
     ns = SimpleNamespace(
-        indptr=indptr[: ncn + 1],
+        indptr=indptr[: ncn + 1].astype(np.int32),
         indices=indices[:e],
         prob_table=sl(prob_table),
         alias_table=sl(alias_table),
@@ -100,9 +107,9 @@ def make_tiered_topology(
         SampleType.WEIGHTED_KHOP_HASH_DEDUP,
     )
     hot = Graph.from_dataset(ns, device, weighted=weighted)
-    # walk steps are fanout-1 uniform-with-replacement draws (khop2 shape)
+    # walk steps are fanout-1 uniform-with-replacement draws
     host_st = (
-        SampleType.KHOP2 if sample_type == SampleType.RANDOM_WALK
+        C.UNIFORM_WR if sample_type == SampleType.RANDOM_WALK
         else sample_type
     )
     host_sampler = HostColdSampler(

@@ -171,6 +171,67 @@ def make_synthetic_dataset(
     return ds
 
 
+def plant_hop2_task(
+    ds: Dataset,
+    label_noise: float = 0.15,
+    token_alpha: float = 0.55,
+    feat_noise: float = 1.0,
+    seed: int = 0,
+) -> Dataset:
+    """Re-label a dataset with a NON-saturating aggregation-dependent task.
+
+    The planted-signal task puts the class centroid in each node's OWN
+    features, so a feature-only MLP solves it and time-to-accuracy curves
+    discriminate nothing (round-4 verdict item: 99%+ by epoch 2).  This task
+    makes neighborhood aggregation carry the signal:
+
+    - the dataset's existing labels are treated as hidden COMMUNITIES
+      (build the graph with ``planted_signal > 0`` so 80% of edges are
+      rewired intra-community — homophily lives in the TOPOLOGY);
+    - every node gets an observed token ``t_v``: its community with prob
+      ``1 - token_alpha``, uniform-random otherwise — one noisy vote;
+    - ``label_v = argmax_c`` (#2-hop walks from v landing on token c), then
+      flipped to uniform-random with prob ``label_noise`` → the accuracy
+      ceiling sits near ``(1-label_noise) + label_noise/C``, NOT 100%;
+    - features expose ONLY the node's own token (one-hot + Gaussian noise).
+
+    A feature-only MLP sees a single α-noisy vote (≈ ``(1-α)(1-ρ)`` ceiling,
+    ~45% at the defaults); each aggregation hop adds fanout× more votes, so
+    a working 2-3-layer GNN climbs to the label-noise ceiling (~86%) while
+    an aggregation bug collapses it onto the MLP.  Fills the reference
+    figure15b role (time-to-accuracy separation vs an independent baseline)
+    for the egress-free environment.  Mutates and returns ``ds``.
+    """
+    rng = np.random.default_rng(seed)
+    n = ds.num_node
+    C_ = int(ds.num_class)
+    g = np.asarray(ds.label).astype(np.int64)
+    t = np.where(
+        rng.random(n) < token_alpha, rng.integers(0, C_, n), g
+    ).astype(np.int64)
+    indptr64 = np.asarray(ds.indptr).astype(np.int64)
+    deg = np.diff(indptr64)
+    row = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = np.asarray(ds.indices).astype(np.int64)
+    counts1 = np.zeros((n, C_), np.float64)
+    for c in range(C_):
+        counts1[:, c] = np.bincount(row, weights=(t[dst] == c), minlength=n)
+    counts2 = np.zeros((n, C_), np.float64)
+    for c in range(C_):
+        counts2[:, c] = np.bincount(
+            row, weights=counts1[dst, c], minlength=n
+        )
+    # deterministic tiebreak, then label noise
+    label = np.argmax(counts2 + rng.random((n, C_)) * 1e-6, axis=1)
+    flip = rng.random(n) < label_noise
+    label[flip] = rng.integers(0, C_, int(flip.sum()))
+    ds.label = label.astype(np.int64)
+    feat = rng.standard_normal((n, ds.feat_dim), dtype=np.float32) * feat_noise
+    feat[np.arange(n), t % ds.feat_dim] += 3.0
+    ds.feat = feat
+    return ds
+
+
 def build_alias_tables(ds: Dataset, seed: int = 0) -> None:
     """Attach weighted-sampling tables (random edge weights) to a dataset.
 

@@ -62,6 +62,20 @@ class Graph:
             jnp.asarray(pad_tile(np.asarray(x))), device
         )
         iptr = np.asarray(ds.indptr)
+        if len(iptr) and int(iptr[-1]) >= 2**31:
+            # device edge offsets are int32 by design (JAX x64 off): a
+            # single-store device CSR cannot address >= 2^31 edges.  The
+            # supported paths for such graphs REBASE offsets below 2^31 —
+            # partitioned store at P >= 2 (partition_csr_host) or a clamped
+            # hot prefix + int64 host tier (make_tiered_topology /
+            # dist_graph_percentage); see parallel/ggms.py.
+            raise ValueError(
+                f"graph has {int(iptr[-1])} edges (>= 2^31): single-store "
+                "device topology unsupported — use the partitioned store "
+                "or a host-tier prefix"
+            )
+        if iptr.dtype != np.int32:
+            iptr = iptr.astype(np.int32)
         iptr_padded = pad_tile(iptr, fill=int(iptr[-1]))
         g = cls(
             indptr=jax.device_put(jnp.asarray(iptr_padded), device),
