@@ -56,6 +56,15 @@ def coo_to_csr(num_node: int, src: np.ndarray, dst: np.ndarray,
     deg = np.bincount(src, minlength=num_node)
     indptr = np.zeros(num_node + 1, np.int64)
     np.cumsum(deg, out=indptr[1:])
+    if int(indptr[-1]) >= 2**32:
+        raise ValueError(
+            f"{int(indptr[-1])} edges exceed the uint32 offset space of "
+            "the binary format"
+        )
+    # uint32 offsets are exact up to 2^32-1 edges; the loader keeps the
+    # mmap as uint32 past 2^31 (dataset.py big-offset path,
+    # tests/test_big_offsets.py) — com-friendster (~3.6B) and mag240m
+    # (~2.6B) land in that range
     return indptr.astype(np.uint32), dst.astype(np.uint32)
 
 

@@ -28,7 +28,14 @@ def main():
     p.add_argument("--fanout", nargs="+", type=int, default=[15, 10, 5])
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cpu", action="store_true",
+                   help="run inference on CPU (matches train.py --cpu)")
     args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
