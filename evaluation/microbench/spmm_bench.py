@@ -130,6 +130,20 @@ def main():
         f"GBps={bytes_min/t_fine/1e9:.1f}:edges_per_s={e/t_fine/1e6:.1f}M"
     )
 
+    # the round-5 INFERENCE default: fine buckets + pre-expanded neighbor-id
+    # matrices (materialize_plan_ids) — no id fetch in the hot loop
+    from xgnn_tpu.ops.spmm import materialize_plan_ids
+
+    materialize_plan_ids(plan_f, meta_f, g.indices, n)
+    t_pre = timeit(
+        lambda idx, x: spmm_csr_planned(plan_f, meta_f, idx, x),
+        g.indices, h, iters=5,
+    )
+    print(
+        f"test_result:spmm_planned_pre:ms={t_pre*1e3:.1f}:"
+        f"GBps={bytes_min/t_pre/1e9:.1f}:edges_per_s={e/t_pre/1e6:.1f}M"
+    )
+
     # variant: VMEM-sized slabs (4 MB) — if the (chunk, cap, F) slab was
     # round-tripping HBM before the reduce, small slabs let XLA keep it
     # on-chip

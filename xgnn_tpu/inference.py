@@ -86,6 +86,14 @@ def full_graph_inference(
     # round-3 fine-bucket A/B); ~2x bucket compiles, amortized by the
     # persistent compile cache
     plan, plan_meta = build_spmm_plan(indptr_host, fine_buckets=True)
+    # pre-expand the padded neighbor-id matrices on device: removes the
+    # in-kernel take_runs id fetch — 1.68 s of the 3.18 s products-scale
+    # SpMM, putting the pass at the measured transaction floor
+    # (spmm_attrib.tsv round 5: 20.9 -> 44.5 GB/s) for ~+20% of the
+    # indices array in HBM, amortized over every layer/epoch
+    from .ops.spmm import materialize_plan_ids
+
+    materialize_plan_ids(plan, plan_meta, indices, num_node)
     deg_h = np.diff(indptr_host)
     inv_deg = jnp.asarray(
         np.where(deg_h > 0, 1.0 / np.maximum(deg_h, 1), 0.0).astype(

@@ -296,6 +296,88 @@ def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26,
     return plan, plan_meta
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x - 1).bit_length(), 0)
+
+
+def materialize_plan_ids(plan, plan_meta, indices, num_node: int):
+    """One-time on-device expansion of every bucket's padded neighbor-id
+    matrix (+ chunk-granule task padding).
+
+    The planned kernels originally fetched neighbor ids in the hot loop
+    (``take_runs`` covering-tile reads + lane select): at products scale
+    that is **1.68 s of a 3.18 s SpMM** — with ids pre-expanded the same
+    pass runs at the chip's measured random-row transaction floor
+    (spmm_attrib.tsv: 3175 → 1493 ms, 20.9 → 44.5 GB/s ≈ the 42.4 GB/s
+    flat gather+reduce control).  Cost: ``rows/fill`` int32 HBM (~590 MB at
+    products scale — about the indices array again), paid once per graph
+    and reused by every layer/epoch of full-graph inference.
+
+    Buckets are padded to a power-of-two task granule so any power-of-two
+    chunk divides them (feature width changes the chunk per layer).
+    Invalid slots spread over the appended PAD_ROWS zero block
+    (collision_bench.tsv).  Mutates and returns ``plan``.
+    """
+    from .tiled import take_runs
+
+    @functools.partial(jax.jit, static_argnames=("cap", "pad_base"))
+    def _expand(indices, starts, lens, *, cap, pad_base):
+        j = jnp.arange(cap, dtype=jnp.int32)
+        valid = j[None, :] < lens[:, None]
+        spread = (
+            jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0) * cap
+            + jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+        ) % PAD_ROWS
+        return jnp.where(
+            valid, take_runs(indices, starts, cap), pad_base + spread
+        )
+
+    import numpy as np
+
+    pad_base = num_node  # h is appended with PAD_ROWS zero rows at [n:]
+    for b in plan:
+        nt = len(b["nodes"])
+        g = min(8192, _next_pow2(max(nt, 8)))
+        nt_pad = -(-nt // g) * g
+        st = np.concatenate(
+            [b["starts"], np.zeros(nt_pad - nt, np.int32)]
+        )
+        ln = np.concatenate([b["lens"], np.zeros(nt_pad - nt, np.int32)])
+        b["nbr"] = _expand(
+            indices, jnp.asarray(st), jnp.asarray(ln),
+            cap=int(b["cap"]), pad_base=pad_base,
+        )
+        b["nodes_pad"] = jnp.asarray(
+            np.concatenate(
+                [b["nodes"], np.full(nt_pad - nt, num_node, np.int32)]
+            )
+        )
+        b["granule"] = g
+    return plan
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "mean_weight")
+)
+def _bucket_pass_pre(out, nbr, h, nodes, inv_deg, *, cap, chunk,
+                     mean_weight):
+    """:func:`_bucket_pass` over a pre-expanded neighbor-id matrix — no
+    id fetch in the hot loop (see :func:`materialize_plan_ids`)."""
+    steps = nodes.shape[0] // chunk
+
+    def body(out, i):
+        nb = jax.lax.dynamic_slice_in_dim(nbr, i * chunk, chunk)
+        nd = jax.lax.dynamic_slice_in_dim(nodes, i * chunk, chunk)
+        rows = jnp.take(h, nb, axis=0, mode="clip")
+        part = rows.sum(axis=1)
+        if mean_weight:
+            part = part * jnp.take(inv_deg, nd, mode="clip")[:, None]
+        return out.at[nd].add(part, mode="drop"), None
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(steps))
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("cap", "chunk", "num_node", "mean_weight")
 )
@@ -359,6 +441,16 @@ def spmm_csr_planned(plan, plan_meta, indices, h, *, mean: bool = False,
     for b in plan:
         cap = b["cap"]
         nt = len(b["nodes"])
+        if "nbr" in b:
+            # pre-expanded ids (materialize_plan_ids): chunk is a power of
+            # two <= the bucket granule, so it divides the padded task count
+            chunk = max(int(plan_meta["slab_bytes"] // (cap * f * 4)), 8)
+            chunk = min(_next_pow2(chunk + 1) >> 1, b["granule"])
+            out = _bucket_pass_pre(
+                out, b["nbr"], h, b["nodes_pad"], inv_deg,
+                cap=cap, chunk=chunk, mean_weight=mean,
+            )
+            continue
         chunk = max(int(plan_meta["slab_bytes"] // (cap * f * 4)), 8)
         # never pad a small bucket to a giant chunk: cap the chunk at the
         # bucket's next power of two (padding waste <= 2x)
@@ -459,6 +551,57 @@ def _gat_pass_sum(carry, indices, feat, el, er, m, nodes, starts, lens, *,
     return carry
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "negative_slope")
+)
+def _gat_pass_max_pre(m, nbr, el, er, nodes, *, cap, chunk,
+                      negative_slope):
+    """:func:`_gat_pass_max` over pre-expanded neighbor ids."""
+    steps = nodes.shape[0] // chunk
+
+    def body(m, i):
+        nb = jax.lax.dynamic_slice_in_dim(nbr, i * chunk, chunk)
+        nd = jax.lax.dynamic_slice_in_dim(nodes, i * chunk, chunk)
+        e = jax.nn.leaky_relu(
+            jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
+            + jnp.take(er, nb, axis=0, mode="clip"),
+            negative_slope=negative_slope,
+        )
+        return m.at[nd].max(e.max(axis=1), mode="drop"), None
+
+    m, _ = jax.lax.scan(body, m, jnp.arange(steps))
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "negative_slope")
+)
+def _gat_pass_sum_pre(carry, nbr, feat, el, er, m, nodes, *, cap, chunk,
+                      negative_slope):
+    """:func:`_gat_pass_sum` over pre-expanded neighbor ids."""
+    steps = nodes.shape[0] // chunk
+
+    def body(carry, i):
+        s_num, s_den = carry
+        nb = jax.lax.dynamic_slice_in_dim(nbr, i * chunk, chunk)
+        nd = jax.lax.dynamic_slice_in_dim(nodes, i * chunk, chunk)
+        e = jax.nn.leaky_relu(
+            jnp.take(el, nd, axis=0, mode="clip")[:, None, :]
+            + jnp.take(er, nb, axis=0, mode="clip"),
+            negative_slope=negative_slope,
+        )
+        w = jnp.exp(e - jnp.take(m, nd, axis=0, mode="clip")[:, None, :])
+        fv = jnp.take(feat, nb, axis=0, mode="clip")
+        s_num = s_num.at[nd].add(
+            jnp.sum(fv * w[..., None], axis=1), mode="drop"
+        )
+        s_den = s_den.at[nd].add(w.sum(axis=1), mode="drop")
+        return (s_num, s_den), None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(steps))
+    return carry
+
+
 def gat_aggregate_planned(
     plan, plan_meta, indices, feat, el, er, *, negative_slope: float = 0.2
 ):
@@ -500,6 +643,14 @@ def gat_aggregate_planned(
         chunk = max(
             int(plan_meta["slab_bytes"] // (cap * max(heads * d, 1) * 4)), 8
         )
+        if "nbr" in b:
+            chunk = min(_next_pow2(chunk + 1) >> 1, b["granule"])
+            chunks[id(b)] = chunk
+            m = _gat_pass_max_pre(
+                m, b["nbr"], el, er_x, b["nodes_pad"],
+                cap=cap, chunk=chunk, negative_slope=negative_slope,
+            )
+            continue
         chunk = min(chunk, 1 << max(int(math.ceil(math.log2(max(nt, 8)))), 3))
         chunks[id(b)] = chunk
         nodes, starts, lens = padded(b, chunk)
@@ -512,6 +663,13 @@ def gat_aggregate_planned(
     for b in plan:
         cap = b["cap"]
         chunk = chunks[id(b)]
+        if "nbr" in b:
+            s_num, s_den = _gat_pass_sum_pre(
+                (s_num, s_den), b["nbr"], feat_x, el, er_x, m,
+                b["nodes_pad"],
+                cap=cap, chunk=chunk, negative_slope=negative_slope,
+            )
+            continue
         nodes, starts, lens = padded(b, chunk)
         s_num, s_den = _gat_pass_sum(
             (s_num, s_den), indices, feat_x, el, er_x, m,
