@@ -15,6 +15,11 @@
 //   xgnn-convert cache-by-degree-hop <dataset_dir>
 //   xgnn-convert cache-by-heuristic <dataset_dir>
 //   xgnn-convert create-weights <dataset_dir> [seed]
+//   xgnn-convert nodeset <dataset_dir> <n_train> <n_valid> <n_test> [seed]
+//     (toolkit/generator/nodeset_generator.cc analog; the 32to64 converter
+//      is obviated by the loader's uint32 big-offset path, dataset.py)
+//   xgnn-convert probe-bandwidth [gb]      (toolkit/bandwidth analog)
+//   xgnn-convert probe-memory <pid|self>   (toolkit/memory analog)
 //
 // create-weights emits prob_table.bin / alias_table.bin /
 // prob_prefix_table.bin for the weighted sampling family (reference
@@ -24,6 +29,9 @@
 //
 // All outputs follow the byte layout in xgnn_tpu/constants.py (identical to
 // the reference's: uint32 CSR, meta.txt KEY VALUE).
+
+#include <sys/mman.h>
+#include <time.h>
 
 #include <algorithm>
 #include <cstdint>
@@ -263,6 +271,113 @@ int cmd_create_weights(const std::string &dir, unsigned seed) {
   return 0;
 }
 
+// nodeset: draw distinct non-isolated nodes for train/valid/test set files
+// (reference utility/data-process/toolkit/generator/nodeset_generator.cc:
+// uniform draws, rejecting zero-degree and already-taken nodes).  Also
+// updates the NUM_*_SET lines in meta.txt.
+int cmd_nodeset(const std::string &dir, size_t n_train, size_t n_valid,
+                size_t n_test, uint32_t seed) {
+  std::vector<uint32_t> indptr = read_u32(dir + "/indptr.bin");
+  size_t num_node = indptr.size() - 1;
+  std::vector<bool> taken(num_node, false);
+  std::mt19937 rng(seed);
+  std::uniform_int_distribution<uint64_t> dist(0, num_node - 1);
+  auto draw = [&](size_t n) {
+    std::vector<uint32_t> out;
+    out.reserve(n);
+    size_t attempts = 0, limit = 100 * n + 1000000;
+    while (out.size() < n && attempts++ < limit) {
+      uint64_t v = dist(rng);
+      if (indptr[v + 1] - indptr[v] > 0 && !taken[v]) {
+        out.push_back((uint32_t)v);
+        taken[v] = true;
+      }
+    }
+    if (out.size() < n) {
+      fprintf(stderr, "nodeset: only %zu/%zu non-isolated nodes found\n",
+              out.size(), n);
+      exit(1);
+    }
+    return out;
+  };
+  write_u32(dir + "/train_set.bin", draw(n_train));
+  write_u32(dir + "/valid_set.bin", draw(n_valid));
+  write_u32(dir + "/test_set.bin", draw(n_test));
+  // rewrite the set sizes in meta.txt
+  std::ifstream in(dir + "/meta.txt");
+  std::string line, out_meta;
+  while (std::getline(in, line)) {
+    if (line.rfind("NUM_TRAIN_SET", 0) == 0 ||
+        line.rfind("NUM_VALID_SET", 0) == 0 ||
+        line.rfind("NUM_TEST_SET", 0) == 0)
+      continue;
+    out_meta += line + "\n";
+  }
+  in.close();
+  out_meta += "NUM_TRAIN_SET " + std::to_string(n_train) + "\n";
+  out_meta += "NUM_VALID_SET " + std::to_string(n_valid) + "\n";
+  out_meta += "NUM_TEST_SET " + std::to_string(n_test) + "\n";
+  std::ofstream mf(dir + "/meta.txt");
+  mf << out_meta;
+  printf("nodeset: %zu train / %zu valid / %zu test written\n", n_train,
+         n_valid, n_test);
+  return 0;
+}
+
+// probe-bandwidth: memcpy bandwidth of normal malloc memory vs an
+// mlocked MAP_SHARED mapping (the reference's
+// toolkit/bandwidth/mem_bandwidth.cc probe — decides whether pinned/shm
+// pages copy differently on this host; feeds the host-tier H2D estimate).
+int cmd_probe_bandwidth(size_t gb) {
+  size_t mem = gb << 30, copy = 30u << 20, iters = 10;
+  char *shm = (char *)mmap(nullptr, mem, PROT_READ | PROT_WRITE,
+                           MAP_ANONYMOUS | MAP_SHARED, -1, 0);
+  mlock(shm, mem);
+  char *src = (char *)malloc(mem);
+  char *dst = (char *)malloc(mem);
+  memset(src, 1, mem);
+  memset(dst, 1, mem);
+  memset(shm, 1, mem);
+  auto now = [] {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+  };
+  double t_norm = 0, t_shm = 0;
+  for (size_t i = 0; i < iters; ++i) {
+    size_t o0 = (i * copy) % (mem - copy), o1 = mem - copy - o0;
+    double t0 = now();
+    memcpy(dst + o0, src + o0, copy);
+    t_norm += now() - t0;
+    double t1 = now();
+    memcpy(shm + o1, src + o1, copy);
+    t_shm += now() - t1;
+  }
+  printf("probe-bandwidth: malloc %.2f GB/s | mlocked-shm %.2f GB/s "
+         "(%zu MB copies)\n",
+         copy * iters / t_norm / 1e9, copy * iters / t_shm / 1e9,
+         copy >> 20);
+  free(src);
+  free(dst);
+  munmap(shm, mem);
+  return 0;
+}
+
+// probe-memory: RSS/peak of a process + host availability (the reference's
+// toolkit/memory/memory.py observer, one-shot)
+int cmd_probe_memory(const std::string &pid) {
+  std::ifstream st("/proc/" + pid + "/status");
+  std::string line;
+  while (std::getline(st, line))
+    if (line.rfind("VmRSS", 0) == 0 || line.rfind("VmHWM", 0) == 0)
+      printf("%s\n", line.c_str());
+  std::ifstream mi("/proc/meminfo");
+  while (std::getline(mi, line))
+    if (line.rfind("MemAvailable", 0) == 0 || line.rfind("MemTotal", 0) == 0)
+      printf("%s\n", line.c_str());
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char **argv) {
@@ -270,7 +385,8 @@ int main(int argc, char **argv) {
     fprintf(stderr,
             "usage: xgnn-convert <coo2csr|degrees|cache-by-degree|"
             "cache-by-random|cache-by-degree-hop|cache-by-heuristic|"
-            "create-weights> args...\n");
+            "create-weights|nodeset|probe-bandwidth|probe-memory> "
+            "args...\n");
     return 1;
   }
   std::string cmd = argv[1];
@@ -284,6 +400,12 @@ int main(int argc, char **argv) {
   if (cmd == "cache-by-heuristic") return cmd_cache_by_heuristic(argv[2]);
   if (cmd == "create-weights")
     return cmd_create_weights(argv[2], argc > 3 ? atoi(argv[3]) : 0);
+  if (cmd == "nodeset" && argc >= 6)
+    return cmd_nodeset(argv[2], atol(argv[3]), atol(argv[4]), atol(argv[5]),
+                       argc > 6 ? atoi(argv[6]) : 0);
+  if (cmd == "probe-bandwidth")
+    return cmd_probe_bandwidth(argc > 2 ? atol(argv[2]) : 1);
+  if (cmd == "probe-memory") return cmd_probe_memory(argv[2]);
   fprintf(stderr, "bad subcommand/args\n");
   return 1;
 }

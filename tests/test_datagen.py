@@ -166,6 +166,40 @@ def test_datagen_cli_with_cpp_poststeps(tmp_path):
         assert ds.prob_prefix_table is not None
 
 
+def test_nodeset_generator(tmp_path):
+    """xgnn-convert nodeset: distinct non-isolated draws + meta rewrite
+    (reference toolkit/generator/nodeset_generator.cc)."""
+    import subprocess
+
+    import numpy as np
+
+    from xgnn_tpu import synthetic
+    from xgnn_tpu.clib import convert_path
+    from xgnn_tpu.dataset import save_dataset
+
+    conv = convert_path()
+    if conv is None:
+        import pytest
+
+        pytest.skip("C++ toolkit unavailable")
+    ds = synthetic.make_synthetic_dataset(
+        num_node=400, avg_degree=5, feat_dim=8, num_class=3, seed=2
+    )
+    out = str(tmp_path / "ns")
+    save_dataset(ds, out)
+    r = subprocess.run(
+        [conv, "nodeset", out, "40", "15", "15", "3"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    ds2 = load_dataset(out)
+    assert len(ds2.train_set) == 40
+    deg = np.diff(ds2.indptr.astype(np.int64))
+    ids = np.concatenate([ds2.train_set, ds2.valid_set, ds2.test_set])
+    assert (deg[ids] > 0).all()  # no isolated nodes
+    assert len(np.unique(ids)) == len(ids)  # disjoint sets
+
+
 def test_convert_then_train_e2e(tmp_path):
     """The full real-data path in one test: OGB-format raw fixture →
     converter → binary dataset dir → Engine trains on it (the switch-over

@@ -385,6 +385,20 @@ def test_spmm_planned_matches_edge_scatter():
         np.testing.assert_allclose(
             np.asarray(gotm), np.asarray(refm), rtol=2e-5, atol=2e-5
         )
+        # pre-expanded neighbor-id path (materialize_plan_ids — the
+        # inference default) must match exactly
+        from xgnn_tpu.ops.spmm import materialize_plan_ids
+
+        materialize_plan_ids(plan, meta, jnp.asarray(ds.indices), ds.num_node)
+        got_pre = spmm_csr_planned(
+            plan, meta, jnp.asarray(ds.indices), jnp.asarray(h)
+        )
+        np.testing.assert_array_equal(np.asarray(got_pre), np.asarray(got))
+        gotm_pre = spmm_csr_planned(
+            plan, meta, jnp.asarray(ds.indices), jnp.asarray(h),
+            mean=True, inv_deg=inv,
+        )
+        np.testing.assert_array_equal(np.asarray(gotm_pre), np.asarray(gotm))
 
 
 def test_gat_aggregate_planned_matches_edge_scatter():
@@ -423,6 +437,18 @@ def test_gat_aggregate_planned_matches_edge_scatter():
             )
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
+            )
+            from xgnn_tpu.ops.spmm import materialize_plan_ids
+
+            materialize_plan_ids(
+                plan, meta, jnp.asarray(ds.indices), ds.num_node
+            )
+            got_pre = gat_aggregate_planned(
+                plan, meta, jnp.asarray(ds.indices), jnp.asarray(feat),
+                jnp.asarray(el), jnp.asarray(er),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_pre), np.asarray(got)
             )
 
 
