@@ -35,16 +35,16 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes", type=int, default=2_000_000)
-    ap.add_argument("--degree", type=int, default=10)
+    ap.add_argument("--nodes", type=int, default=16_000_000)
+    ap.add_argument("--degree", type=int, default=8)
     ap.add_argument("--feat-dim", type=int, default=128)
-    ap.add_argument("--budget-gb", type=float, default=0.4,
+    ap.add_argument("--budget-gb", type=float, default=1.5,
                     help="HBM budget for graph stores (both arms equal)")
     ap.add_argument("--ballast-gb", type=float, default=0.0,
                     help="pin HBM to make the budget physically binding")
-    ap.add_argument("--batch-size", type=int, default=8000)
+    ap.add_argument("--batch-size", type=int, default=4000)
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--train-frac", type=float, default=0.05)
+    ap.add_argument("--train-frac", type=float, default=0.002)
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
@@ -69,9 +69,14 @@ def main():
         print(f"# ballast {args.ballast_gb:.1f} GB pinned", file=sys.stderr)
 
     t0 = time.time()
+    # rmat + a LARGE node count relative to the per-batch frontier: at 2M
+    # nodes a 1.4M-row frontier touches 70% of the graph every batch and
+    # per-batch dedup flattens the access CDF to ~uniform — no cache policy
+    # can look good or bad there.  16M nodes puts the frontier at ~8% reach
+    # and the rmat skew survives dedup.
     ds = synthetic.make_synthetic_dataset(
         num_node=args.nodes, avg_degree=args.degree, feat_dim=args.feat_dim,
-        num_class=32, train_frac=args.train_frac, seed=0, power_law=True,
+        num_class=32, train_frac=args.train_frac, seed=0, power_law="rmat",
         name="crossover_synth",
     )
     topo_bytes = ds.num_edge * 4 + (ds.num_node + 1) * 4
@@ -138,9 +143,17 @@ def main():
             ids = np.asarray(b.input_nodes)
             ids = ids[ids != 2147483647]
             cold_frac = float((ids >= hot[0]).mean()) if len(ids) else 0.0
+        # miss_bytes counts the FIXED miss bucket (sync-free path padding);
+        # the hit-derived number is the actual row traffic
+        rows_step = float(np.mean([
+            int((np.asarray(bb.input_nodes) != 2147483647).sum())
+            for bb in [b]
+        ]))
+        true_miss_mb = (1 - hit) * rows_step * rowsz / 1e6
         line = (
             f"{name}\t{ds.num_node}\t{args.budget_gb:.3f}\t"
             f"{topo_dev>>20}\t{ncache}\t{hit:.4f}\t{miss_b/1e6:.2f}\t"
+            f"{true_miss_mb:.2f}\t"
             f"{cold_frac:.4f}\t{r['time']:.2f}\t{eps/1e6:.3f}M\t{r['loss']:.4f}"
         )
         print(f"# {line}", file=sys.stderr)
@@ -160,12 +173,15 @@ def main():
     )
     line_sgnn = run_arm("sgnn_full_topo", cfg_sgnn)
 
-    # ---- arm (ii): XGNN analog — solver splits the same budget
+    # ---- arm (ii): XGNN analog — solver splits the same budget.  The
+    # solver holds back reserve_fraction (0.35) of its hbm budget for
+    # activations/workspace; the sgnn arm spends the full store budget, so
+    # scale the solver's input to make the arms' STORE budgets equal.
     cfg_xgnn = RunConfig(
         batch_size=args.batch_size, fanout=(15, 10, 5), num_layer=3,
         num_hidden=256 if not args.small else 32, model="graphsage",
         sample_type="khop3", auto_placement=True,
-        hbm_budget_gb=args.budget_gb, cache_policy="pre_sample",
+        hbm_budget_gb=args.budget_gb / 0.65, cache_policy="pre_sample",
         presample_epoch=1, pipeline=True, num_epoch=args.epochs,
         calibration_batches=2, root_path="/tmp", dataset="crossover_synth",
     )
@@ -197,7 +213,8 @@ def main():
         if new:
             f.write(
                 "# arm\tnodes\tbudget_gb\ttopo_dev_mib\tcache_rows\t"
-                "feat_hit\thost_bytes_per_step_mb\tcold_topo_frac\t"
+                "feat_hit\tbucket_bytes_per_step_mb\t"
+                "true_miss_bytes_per_step_mb\tcold_topo_frac\t"
                 "epoch_s\tedges_per_s\tloss\n"
             )
         f.write(line_sgnn + "\n")

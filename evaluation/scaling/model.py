@@ -30,19 +30,21 @@ import os
 BENCH_CAPS = (8000, 133376, 1007360, 2449152)
 BENCH_FANOUTS = (15, 10, 5)
 FEAT_BYTES = 4 * 128  # f32, 128-wide
-T_COMPUTE_MS = 170.5  # bench-anchored: 4.9e6 edges / 28.74M edges/s (the
-# round-4 single-store headline; sample + train + extract, today's chip)
+T_COMPUTE_MS = 163.0  # bench-anchored: 6.25e6 edges / 38.36M edges/s (the
+# round-5 corrected-khop3 single-store headline: the Fisher-Yates kernel
+# produces min(K, deg) distinct picks with no dedup sort — more edges AND
+# a faster step than the round-4 khop2+dedup mistake)
 # per-chip exchange MACHINERY (constant-ish in P, measured at P=1 where the
 # wires are free): request planning + response picks (sort-free plan +
 # linearized/tiled compositions), the owner-side draw/gather over
 # seg-clamped request matrices, and the last-layer dedup sort the
-# single-store path avoids via direct extraction.  Round-4 value is the
-# P=1 bench delta: 4.9e6/17.94M = 273.2 ms dist-graph step vs 170.5
-# single-store (after the collision-spread, seg-clamp, and tiled-pick
-# fixes — was 198 ms in round 3; trace accounting in PERF.md)
-T_MACHINERY_MS = 102.7
+# single-store path avoids via direct extraction.  Round-5 value is the
+# P=1 bench delta: 6.25e6/23.25M = 268.8 ms dist-graph step vs 163.0
+# single-store — ~106 ms, unchanged from round 4 (the khop fix sped both
+# paths by the same kernel)
+T_MACHINERY_MS = 105.8
 T_HOST_MS = 25.0      # per-step host dispatch (tunnel artifact; ~0 locally)
-EDGES_PER_STEP = 4.9e6
+EDGES_PER_STEP = 6.25e6
 
 
 def exchange_bytes(caps, fanouts, feat_bytes, headroom=2.0):

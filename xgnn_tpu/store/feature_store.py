@@ -42,24 +42,49 @@ def _bucket(n: int, minimum: int = 1024) -> int:
     return b
 
 
+PAD_ROWS = 128  # zero-row pad block appended to gather targets: invalid
+# picks spread over DISTINCT rows instead of colliding on one
+# (collision_bench.tsv — parked slots serialize the transactions they hit)
+
+
 @functools.partial(jax.jit, static_argnums=())
 def _gather_rows(feat, ids, num_valid):
     n = ids.shape[0]
     valid = jnp.arange(n) < num_valid
-    idx = jnp.where(valid & (ids != EMPTY), ids, 0)
+    # invalid slots spread over distinct rows (their content is never read:
+    # block local ids stay < num_src); parking them on row 0 serializes
+    # that row's transactions
+    spread = (
+        jnp.arange(n, dtype=jnp.int32) * jnp.int32(127)
+    ) % jnp.int32(max(feat.shape[0], 1))
+    idx = jnp.where(valid & (ids != EMPTY), ids, spread)
     return jnp.take(feat, idx, axis=0, mode="clip")
 
 
 @jax.jit
 def _split_kernel(posmap, cache_feat, input_nodes, num_input):
     """Hit/miss split: the GetMissCacheIndex stage
-    (cuda_cache_manager_device.cu:41-170) as one argsort compaction."""
+    (cuda_cache_manager_device.cu:41-170) as one argsort compaction.
+
+    ``cache_feat`` carries a PAD_ROWS zero block (appended at build):
+    miss/invalid slots gather distinct zero rows, so there is no full-width
+    hit-mask multiply pass and no row-0 transaction pile-up — the round-4
+    collision-spread treatment applied to the two-phase cache path
+    (round 5; the pre-fix path measured 225 ms/step of two-phase overhead
+    at bench shapes through the tunnel)."""
+    from ..ops.tiled import take_1d
+
     n = input_nodes.shape[0]
+    num_cache = cache_feat.shape[0] - PAD_ROWS
     valid = jnp.arange(n) < num_input
-    safe_ids = jnp.where(valid & (input_nodes != EMPTY), input_nodes, 0)
-    slots = posmap[safe_ids]
-    hit = valid & (slots != EMPTY)
-    miss = valid & ~hit
+    real = valid & (input_nodes != EMPTY)
+    # spread the padding lookups over the posmap too (4-byte tile gather)
+    id_spread = (
+        jnp.arange(n, dtype=jnp.int32) * jnp.int32(127)
+    ) % jnp.int32(max(posmap.shape[0], 1))
+    slots = take_1d(posmap, jnp.where(real, input_nodes, id_spread))
+    hit = real & (slots != EMPTY)
+    miss = real & ~hit
     num_miss = jnp.sum(miss).astype(jnp.int32)
     num_hit = jnp.sum(hit).astype(jnp.int32)
     # compact miss positions to the front (stable: preserves order); first
@@ -68,11 +93,18 @@ def _split_kernel(posmap, cache_feat, input_nodes, num_input):
     # pad with EMPTY (not 0) so the host gather's ids<0 fast path skips the
     # (bucket - num_miss) slack rows instead of fetching node 0 repeatedly
     miss_ids = jnp.where(
-        jnp.arange(n) < num_miss, input_nodes[miss_pos], EMPTY
+        jnp.arange(n) < num_miss,
+        take_1d(input_nodes, jnp.minimum(miss_pos, n - 1)),
+        EMPTY,
     )
-    # cached rows gathered immediately (overlaps with host miss gather)
-    cached = jnp.take(cache_feat, jnp.where(hit, slots, 0), axis=0, mode="clip")
-    cached = cached * hit[:, None].astype(cache_feat.dtype)
+    # cached rows gathered immediately (overlaps with host miss gather);
+    # misses land on the zero pad block — no mask multiply
+    row_spread = num_cache + (
+        jnp.arange(n, dtype=jnp.int32) * jnp.int32(127)
+    ) % jnp.int32(PAD_ROWS)
+    cached = jnp.take(
+        cache_feat, jnp.where(hit, slots, row_spread), axis=0, mode="clip"
+    )
     return cached, miss_ids, miss_pos, num_miss, num_hit
 
 
@@ -155,6 +187,11 @@ class TieredFeatureSource(FeatureSource):
             cache_rows = clib.gather_rows(feat_host, cache_ids)
         else:
             cache_rows = np.zeros((1, self.feat_dim), feat_host.dtype)
+        # PAD_ROWS zero block: miss/invalid picks spread over distinct zero
+        # rows inside _split_kernel (no hit-mask multiply pass)
+        cache_rows = np.concatenate(
+            [cache_rows, np.zeros((PAD_ROWS, self.feat_dim), cache_rows.dtype)]
+        )
         self.cache_feat = jax.device_put(jnp.asarray(cache_rows, dtype=dtype), device)
         self.device = device
         self.dtype = dtype or self.cache_feat.dtype
@@ -243,6 +280,9 @@ class DynamicTieredFeatureSource(TieredFeatureSource):
             from .. import clib
 
             rows = clib.gather_rows(self.feat_host, cache_ids)
+            rows = np.concatenate(
+                [rows, np.zeros((PAD_ROWS, self.feat_dim), rows.dtype)]
+            )
             self.cache_feat = jax.device_put(
                 jnp.asarray(rows, dtype=self.dtype), self.device
             )
