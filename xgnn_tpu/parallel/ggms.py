@@ -140,7 +140,12 @@ def cache_split(
     cap = ids.shape[0]
     miss_cap = min(miss_cap, cap)
     valid = ids != EMPTY
-    safe = jnp.where(valid, ids, 0)
+    # padding lookups spread over distinct nodes/rows — parking them on
+    # entry 0 serializes that tile's transactions (collision_bench.tsv)
+    spread = (
+        jnp.arange(cap, dtype=jnp.int32) * jnp.int32(127)
+    ) % jnp.int32(max(posmap.shape[0], 1))
+    safe = jnp.where(valid, ids, spread)
     slots = take_1d(posmap, safe)
     hit = valid & (slots != EMPTY)
     if partitioned:
@@ -149,8 +154,12 @@ def cache_split(
             cache_local, pos_req, axis_name, seg_cap
         )
     else:
+        row_spread = (
+            jnp.arange(cap, dtype=jnp.int32) * jnp.int32(127)
+        ) % jnp.int32(max(cache_local.shape[0], 1))
         hit_rows = jnp.take(
-            cache_local, jnp.where(hit, slots, 0), axis=0, mode="clip"
+            cache_local, jnp.where(hit, slots, row_spread), axis=0,
+            mode="clip",
         )
         hit_rows = hit_rows * hit[:, None].astype(hit_rows.dtype)
         of = jnp.zeros((), jnp.bool_)
