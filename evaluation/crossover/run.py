@@ -177,6 +177,8 @@ def main():
     # solver holds back reserve_fraction (0.35) of its hbm budget for
     # activations/workspace; the sgnn arm spends the full store budget, so
     # scale the solver's input to make the arms' STORE budgets equal.
+    from xgnn_tpu.parallel.placement import resolve_auto_placement
+
     cfg_xgnn = RunConfig(
         batch_size=args.batch_size, fanout=(15, 10, 5), num_layer=3,
         num_hidden=256 if not args.small else 32, model="graphsage",
@@ -185,6 +187,27 @@ def main():
         presample_epoch=1, pipeline=True, num_epoch=args.epochs,
         calibration_batches=2, root_path="/tmp", dataset="crossover_synth",
     )
+    from xgnn_tpu.parallel.ggms import host_callbacks_supported
+
+    cfg_xgnn, plan = resolve_auto_placement(cfg_xgnn, ds, group_size=1)
+    cfg_xgnn.auto_placement = False
+    if (
+        not host_callbacks_supported()
+        and cfg_xgnn.dist_graph_percentage < 1.0
+    ):
+        # the axon TUNNEL plugin lacks host send/recv callbacks, so the
+        # cold-TOPOLOGY tier (jax.pure_callback per layer) cannot execute
+        # here — standard CPU/GPU/TPU runtimes support it (the CPU-mesh
+        # tests drive it end to end).  Clamp to full topology residency and
+        # hand the freed budget to the cache so the arms stay budget-equal.
+        print(
+            "# axon tunnel: no host callbacks — clamping topology to full "
+            "residency, budget rebalanced to cache", file=sys.stderr,
+        )
+        cfg_xgnn.dist_graph_percentage = 1.0
+        cfg_xgnn.cache_percentage = min(
+            max((budget - topo_bytes) / feat_bytes, 0.01), 0.999
+        )
     line_xgnn = run_arm("xgnn_solved_split", cfg_xgnn)
 
     # ---- access CDF for model.py (presample frequency, hottest first)
@@ -197,17 +220,30 @@ def main():
     sampler = Sampler(
         g, cfg, default_capacities(args.batch_size, (15, 10, 5), ds.num_node)
     )
-    freq = np.asarray(
+    # OUT-OF-SAMPLE hit curve: rank by one presample epoch, evaluate on a
+    # second with a different seed — the in-sample CDF overestimates (rank
+    # epoch A covers only the nodes A touched: CDF(c) saturates at the
+    # epoch's reach, while the engine's measured hit is computed on a
+    # DIFFERENT epoch's draws; measured 0.699 at 6.6% cache vs in-sample
+    # 0.942 on this graph)
+    import dataclasses as _dc
+
+    freq_a = np.asarray(
         presample_ranking(sampler, ds.train_set, cfg, ds.num_node)
     ).astype(np.float64)
-    w = np.sort(freq)[::-1]
-    cdf = np.cumsum(w) / max(w.sum(), 1.0)
-    q = np.linspace(0, len(cdf) - 1, 1001).astype(np.int64)
+    cfg_b = _dc.replace(cfg, seed=cfg.seed + 7919)
+    freq_b = np.asarray(
+        presample_ranking(sampler, ds.train_set, cfg_b, ds.num_node)
+    ).astype(np.float64)
+    order = np.argsort(-freq_a, kind="stable")
+    hit_mass = np.cumsum(freq_b[order]) / max(freq_b.sum(), 1.0)
+    q = np.linspace(0, len(hit_mass) - 1, 1001).astype(np.int64)
     with open(os.path.join(HERE, "cdf.tsv"), "w") as f:
-        f.write("# presample access CDF (fraction of feature reads served "
-                "by the hottest x-fraction of nodes); 1001 quantiles\n")
+        f.write("# OUT-OF-SAMPLE presample hit curve: fraction of epoch-B "
+                "feature reads served by caching the hottest x-fraction of "
+                "nodes ranked by epoch A; 1001 quantiles\n")
         for i, j in enumerate(q):
-            f.write(f"{i/1000:.3f}\t{cdf[j]:.6f}\n")
+            f.write(f"{i/1000:.3f}\t{hit_mass[j]:.6f}\n")
 
     with open(out, "a") as f:
         if new:

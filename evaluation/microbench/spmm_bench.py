@@ -249,6 +249,19 @@ def main():
         f"edges_per_s={e/t_gatp/1e6:.1f}M"
     )
 
+    # fine buckets + pre-expanded ids (the inference default): plan_f was
+    # materialized above, reuse it for the SDDMM pair of passes
+    t_gatpre = timeit(
+        lambda idx, x, a, b: gat_aggregate_planned(
+            plan_f, meta_f, idx, x, a, b
+        ),
+        g.indices, feat3, el, er, iters=5,
+    )
+    print(
+        f"test_result:sddmm_gat_planned_pre:ms={t_gatpre*1e3:.1f}:"
+        f"edges_per_s={e/t_gatpre/1e6:.1f}M"
+    )
+
     # control: PURE random-row gather+reduce at edge scale (no buckets, no
     # CSR) — separates "XLA gather issue rate at 100M+ rows" from any
     # bucketing overhead

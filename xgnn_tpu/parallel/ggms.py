@@ -45,6 +45,34 @@ from .exchange import partitioned_gather
 EMPTY = C.EMPTY_KEY
 
 
+_HOST_CB = None
+
+
+def host_callbacks_supported() -> bool:
+    """Whether this runtime executes ``jax.pure_callback`` (host send/recv).
+
+    Standard CPU/GPU/TPU runtimes do; this environment's axon TUNNEL plugin
+    does not (UNIMPLEMENTED) — which gates the cold-TOPOLOGY tier (a
+    per-layer batched callback).  The feature-miss tier is unaffected: it
+    exits the program between the two-phase steps.  Probed once per
+    process with a scalar round-trip.
+    """
+    global _HOST_CB
+    if _HOST_CB is None:
+        try:
+            fn = jax.jit(
+                lambda x: jax.pure_callback(
+                    lambda y: y,
+                    jax.ShapeDtypeStruct((), jnp.int32), x,
+                )
+            )
+            np.asarray(fn(jnp.int32(3)))
+            _HOST_CB = True
+        except Exception:
+            _HOST_CB = False
+    return _HOST_CB
+
+
 def compute_num_cache_node(indptr: np.ndarray, percentage: float) -> int:
     """Size the device-resident topology prefix so its edges consume
     ``percentage`` of all edges (reference dist_engine.cc:224-235)."""

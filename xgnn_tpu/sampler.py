@@ -90,6 +90,16 @@ def make_tiered_topology(
     # >= 2^31-edge graphs (uint32 loader indptr): the device prefix is
     # clamped so its offsets fit int32; the int64 host tier serves the rest
     ncn = clamp_num_cache_node_int32(indptr, ncn, 1)
+    if ncn < len(indptr) - 1:
+        from .parallel.ggms import host_callbacks_supported
+
+        if not host_callbacks_supported():
+            raise RuntimeError(
+                "cold topology tier needs jax.pure_callback (host "
+                "send/recv) — unsupported on this runtime (the axon tunnel "
+                "plugin); run with dist_graph_percentage=1.0 / the "
+                "partitioned store, or on a standard CPU/GPU/TPU runtime"
+            )
     e = int(indptr[ncn])
     sl = lambda t: None if t is None else np.asarray(t)[:e]
     ns = SimpleNamespace(
