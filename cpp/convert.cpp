@@ -300,9 +300,13 @@ int cmd_nodeset(const std::string &dir, size_t n_train, size_t n_valid,
     }
     return out;
   };
-  write_u32(dir + "/train_set.bin", draw(n_train));
-  write_u32(dir + "/valid_set.bin", draw(n_valid));
-  write_u32(dir + "/test_set.bin", draw(n_test));
+  // draw ALL sets before touching any file: a failed later draw must not
+  // leave train_set.bin rewritten against a stale meta.txt
+  std::vector<uint32_t> tr = draw(n_train), va = draw(n_valid),
+                        te = draw(n_test);
+  write_u32(dir + "/train_set.bin", tr);
+  write_u32(dir + "/valid_set.bin", va);
+  write_u32(dir + "/test_set.bin", te);
   // rewrite the set sizes in meta.txt
   std::ifstream in(dir + "/meta.txt");
   std::string line, out_meta;
@@ -332,9 +336,21 @@ int cmd_probe_bandwidth(size_t gb) {
   size_t mem = gb << 30, copy = 30u << 20, iters = 10;
   char *shm = (char *)mmap(nullptr, mem, PROT_READ | PROT_WRITE,
                            MAP_ANONYMOUS | MAP_SHARED, -1, 0);
-  mlock(shm, mem);
+  if (shm == MAP_FAILED) {
+    fprintf(stderr, "probe-bandwidth: mmap(%zu GB) failed\n", gb);
+    return 1;
+  }
+  bool locked = mlock(shm, mem) == 0;  // fails under RLIMIT_MEMLOCK —
+  if (!locked)                         // label the result honestly
+    fprintf(stderr,
+            "probe-bandwidth: mlock failed (RLIMIT_MEMLOCK?) — shm pages "
+            "are NOT pinned\n");
   char *src = (char *)malloc(mem);
   char *dst = (char *)malloc(mem);
+  if (!src || !dst) {
+    fprintf(stderr, "probe-bandwidth: malloc(%zu GB) failed\n", gb);
+    return 1;
+  }
   memset(src, 1, mem);
   memset(dst, 1, mem);
   memset(shm, 1, mem);
@@ -353,10 +369,10 @@ int cmd_probe_bandwidth(size_t gb) {
     memcpy(shm + o1, src + o1, copy);
     t_shm += now() - t1;
   }
-  printf("probe-bandwidth: malloc %.2f GB/s | mlocked-shm %.2f GB/s "
+  printf("probe-bandwidth: malloc %.2f GB/s | %s-shm %.2f GB/s "
          "(%zu MB copies)\n",
-         copy * iters / t_norm / 1e9, copy * iters / t_shm / 1e9,
-         copy >> 20);
+         copy * iters / t_norm / 1e9, locked ? "mlocked" : "UNPINNED",
+         copy * iters / t_shm / 1e9, copy >> 20);
   free(src);
   free(dst);
   munmap(shm, mem);

@@ -15,7 +15,9 @@ SGNN.  Terms:
   at the validated 1.25× headroom, over ICI bandwidth;
 - host path — bytes/step over a host-link bandwidth parameter (the tunnel
   H2D here is ~14 MB/s garbage; directly-attached hosts move GB/s, so the
-  table sweeps 5/15 GB/s — the reference's zero-copy PCIe regime).
+  table sweeps {2, 4.6, 10} GB/s — 4.6 is this host's probe-measured
+  memcpy rate, 2 ≈ random 512 B rows over PCIe zero-copy, the reference's
+  GPUExtract regime).
 
 SGNN(P): per chip, full topology + replicated cache of (B − topo) bytes.
 XGNN(P): topology sharded (topo/P per chip) + partitioned cache of

@@ -292,7 +292,7 @@ class Engine:
                 self.ds.feat, self.device, self.feat_dtype
             )
             return
-        access_freq = None
+        access_freq = freq_a = freq_b = None
         if cfg.cache_policy in (
             CachePolicy.PRE_SAMPLE,
             CachePolicy.PRE_SAMPLE_STATIC,
@@ -326,8 +326,9 @@ class Engine:
                         tier=self.sampler.tier,
                         num_node=self.sampler.num_node,
                     )
-                access_freq = presample_ranking(
-                    sampler, self.ds.train_set, cfg, self.sampler.num_node
+                access_freq, freq_a, freq_b = presample_ranking(
+                    sampler, self.ds.train_set, cfg, self.sampler.num_node,
+                    halves=True,
                 )
             self.profiler.log_init("presample_time", time.perf_counter() - t0)
             if (
@@ -338,14 +339,24 @@ class Engine:
                 # SOLVED with systematically over-weights hubs (per-batch
                 # dedup counts a hub once however many rows pick it, and the
                 # without-replacement khop family spreads picks wider than
-                # degree mass) — re-estimate from the presample frequency,
-                # the same statistic the cache ranking uses
-                w = np.sort(np.asarray(access_freq, np.float64))[::-1]
-                tot = max(w.sum(), 1.0)
-                k = int(len(w) * self.config.cache_percentage)
-                self.placement_plan.expected_feat_hit = float(
-                    w[:k].sum() / tot
-                )
+                # degree mass).  Estimated OUT-OF-SAMPLE where the presample
+                # was sampled (rank the even-batch counts, score the odd —
+                # the in-sample CDF saturates at one epoch's reach and
+                # overestimates; crossover README measured 0.94 vs 0.70);
+                # the exact static closure is deterministic, so its
+                # in-sample counts ARE the access distribution.
+                k = int(len(access_freq) * self.config.cache_percentage)
+                if cfg.cache_policy == CachePolicy.PRE_SAMPLE_STATIC:
+                    w = np.sort(np.asarray(access_freq, np.float64))[::-1]
+                    hit = float(w[:k].sum() / max(w.sum(), 1.0))
+                else:
+                    fa = np.asarray(freq_a, np.float64)
+                    fb = np.asarray(freq_b, np.float64)
+                    order = np.argsort(-fa, kind="stable")
+                    hit = float(
+                        fb[order][:k].sum() / max(fb.sum(), 1.0)
+                    )
+                self.placement_plan.expected_feat_hit = hit
         ranking = build_ranking(self.ds, cfg, access_freq)
         cls = (
             DynamicTieredFeatureSource

@@ -223,12 +223,23 @@ class MultiChipEngine:
         if big_offsets:
             # stub single-store graph: used only to shape the state-init
             # sample (line `Sampler(self._graph, ...)`) — a zero-edge CSR
-            # with the real node count yields identically-shaped batches
+            # with the real node count yields identically-shaped batches.
+            # Weighted sample types dispatch through the stub too, so it
+            # must carry (tiny, zero) edge-aligned tables
             graph = Graph(
                 indptr=jnp.zeros(
                     pad_tile(np.zeros(len(indptr), np.int32)).shape, jnp.int32
                 ),
                 indices=jnp.zeros((TILE,), jnp.int32),
+                prob_table=(
+                    jnp.zeros((TILE,), jnp.float32) if prob is not None else None
+                ),
+                alias_table=(
+                    jnp.zeros((TILE,), jnp.int32) if alias is not None else None
+                ),
+                prob_prefix_table=(
+                    jnp.ones((TILE,), jnp.float32) if prefix is not None else None
+                ),
                 n_node=int(len(indptr) - 1),
                 n_edge=0,
                 n_max_deg=cfg.max_degree,

@@ -90,10 +90,21 @@ def full_graph_inference(
     # in-kernel take_runs id fetch — 1.68 s of the 3.18 s products-scale
     # SpMM, putting the pass at the measured transaction floor
     # (spmm_attrib.tsv round 5: 20.9 -> 44.5 GB/s) for ~+20% of the
-    # indices array in HBM, amortized over every layer/epoch
+    # indices array in HBM, amortized over every layer/epoch.  Skipped for
+    # GAT: its full-graph pass already holds three (n, H, D) tensors and
+    # the extra id matrices push products-scale 8-head inference over HBM
+    # (measured OOM, tpu_r5d_sddmm2.log) — the non-pre planned SDDMM runs
+    # there instead.  XGNN_SPMM_PRE_IDS=0/1 overrides.
+    import os
+
     from .ops.spmm import materialize_plan_ids
 
-    materialize_plan_ids(plan, plan_meta, indices, num_node)
+    pre_env = os.environ.get("XGNN_SPMM_PRE_IDS")
+    want_pre = (
+        pre_env == "1" if pre_env is not None else model.conv != "gat"
+    )
+    if want_pre:
+        materialize_plan_ids(plan, plan_meta, indices, num_node)
     deg_h = np.diff(indptr_host)
     inv_deg = jnp.asarray(
         np.where(deg_h > 0, 1.0 / np.maximum(deg_h, 1), 0.0).astype(

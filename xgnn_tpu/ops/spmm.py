@@ -204,6 +204,18 @@ def build_spmm_plan(indptr, max_cap: int = 2048, slab_bytes: int = 1 << 26,
     import numpy as np
 
     indptr = np.asarray(indptr)
+    if len(indptr) and int(indptr[-1]) >= 2**31:
+        # task starts are int32 device scalars (like every other device
+        # edge offset — PARITY §2.1 big-offset design); a >=2^31-edge
+        # full-graph plan would wrap them negative.  Such graphs (14+ GB
+        # of indices alone) exceed one chip's HBM regardless — refuse
+        # loudly instead of gathering from garbage positions.
+        raise ValueError(
+            f"full-graph SpMM plan over {int(indptr[-1])} edges needs "
+            ">= 2^31 edge offsets, which device-side plans keep int32; "
+            "run layer-wise inference on a node-range partition of the "
+            "graph (offsets rebased per range) instead"
+        )
     deg = np.diff(indptr).astype(np.int64)
     n = len(deg)
     idx_out = None

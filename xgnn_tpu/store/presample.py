@@ -105,18 +105,35 @@ def _accumulate(freq, input_nodes, num_input):
     return freq.at[idx].add(valid.astype(freq.dtype), mode="drop")
 
 
-def presample_ranking(sampler, train_set, config, num_node: int) -> np.ndarray:
-    """Run presample epochs, return per-node access counts (host array)."""
+def presample_ranking(sampler, train_set, config, num_node: int,
+                      halves: bool = False):
+    """Run presample epochs, return per-node access counts (host array).
+
+    ``halves=True`` additionally returns the counts split over even/odd
+    batches ``(freq, freq_a, freq_b)`` at no extra sampling cost — the
+    held-out pair lets callers estimate the OUT-OF-SAMPLE hit of a
+    ranking (score ``freq_b`` by ``freq_a``'s order; the in-sample CDF
+    overestimates — measured 0.94 vs 0.70 at 6.6% cache on a 16M-node
+    rmat graph, evaluation/crossover/README.md)."""
     from ..engine.shuffler import Shuffler  # deferred: avoids circular import
 
-    freq = jnp.zeros((num_node,), jnp.int32)
+    freq_a = jnp.zeros((num_node,), jnp.int32)
+    freq_b = jnp.zeros((num_node,), jnp.int32)
     shuffler = Shuffler(
         train_set, config.batch_size, seed=config.seed, num_worker=1
     )
     key = jax.random.key(config.seed ^ 0x5EED)
+    i = 0
     for epoch in range(config.presample_epoch):
         for seeds, num_valid in shuffler.epoch_batches(epoch):
             key, k = jax.random.split(key)
             batch = sampler.sample(jnp.asarray(seeds), num_valid, k)
-            freq = _accumulate(freq, batch.input_nodes, batch.num_input)
-    return np.asarray(freq)
+            if i % 2 == 0:
+                freq_a = _accumulate(freq_a, batch.input_nodes, batch.num_input)
+            else:
+                freq_b = _accumulate(freq_b, batch.input_nodes, batch.num_input)
+            i += 1
+    freq = np.asarray(freq_a) + np.asarray(freq_b)
+    if halves:
+        return freq, np.asarray(freq_a), np.asarray(freq_b)
+    return freq
